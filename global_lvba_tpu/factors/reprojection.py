@@ -1,0 +1,99 @@
+"""Whitened distorted reprojection and point-to-plane residuals.
+
+Residual semantics follow the reference Ceres functors exactly
+(/root/reference/include/utils.hpp:51-147):
+
+  * reprojection: world -> camera by (Rcw, tcw); if Z <= 1e-8 the residual
+    is identically zero (utils.hpp:78); otherwise Brown-Conrady projection,
+    whitened by sigma_px per axis;
+  * point-to-plane: r = sqrt((nᵀX + d)² + 1e-12) / sigma (utils.hpp:134-139).
+
+Jacobians come from forward-mode autodiff (the TPU analogue of Ceres
+autodiff), vmapped over observations; the pose tangent is the right-
+multiplicative SO(3) increment R <- R·Exp(δθ) used by all solvers here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraModel, distort_normalized
+from ..geometry.so3 import exp_so3
+
+
+def reproj_residual(
+    cam: CameraModel,
+    R: jnp.ndarray,     # (3, 3) world->cam
+    t: jnp.ndarray,     # (3,)
+    X: jnp.ndarray,     # (3,)
+    uv: jnp.ndarray,    # (2,)
+    sigma: float,
+) -> jnp.ndarray:
+    """Single-observation whitened residual (2,)."""
+    Xc = R @ X + t
+    Z = Xc[2]
+    ok = Z > 1e-8
+    z_safe = jnp.where(ok, Z, 1.0)
+    xy = Xc[0:2] / z_safe
+    xyd = distort_normalized(cam, xy)
+    u = cam.fx * xyd[0] + cam.cx
+    v = cam.fy * xyd[1] + cam.cy
+    r = jnp.stack([(u - uv[0]) / sigma, (v - uv[1]) / sigma])
+    return jnp.where(ok, r, jnp.zeros_like(r))
+
+
+def _reproj_local(cam, R, t, X, uv, sigma, dtheta, dt, dX):
+    R2 = R @ exp_so3(dtheta)
+    return reproj_residual(cam, R2, t + dt, X + dX, uv, sigma)
+
+
+def reproj_residuals_batch(cam, R_all, t_all, X_all, obs_cam, obs_pt, obs_uv, sigma):
+    """Batched residuals (O, 2) for all observations."""
+    R = R_all[obs_cam]
+    t = t_all[obs_cam]
+    X = X_all[obs_pt]
+
+    def one(R, t, X, uv):
+        return reproj_residual(cam, R, t, X, uv, sigma)
+
+    return jax.vmap(one)(R, t, X, obs_uv)
+
+
+def reproj_jacobians_batch(cam, R_all, t_all, X_all, obs_cam, obs_pt, obs_uv, sigma):
+    """Residuals + Jacobians wrt (pose tangent 6, point 3).
+
+    Returns (r (O,2), Jc (O,2,6), Jp (O,2,3)).
+    """
+    R = R_all[obs_cam]
+    t = t_all[obs_cam]
+    X = X_all[obs_pt]
+    zero3 = jnp.zeros(3, dtype=R_all.dtype)
+
+    def one(R, t, X, uv):
+        f = lambda dth, dt_, dX: _reproj_local(cam, R, t, X, uv, sigma, dth, dt_, dX)
+        r = f(zero3, zero3, zero3)
+        Jth, Jt, Jx = jax.jacfwd(f, argnums=(0, 1, 2))(zero3, zero3, zero3)
+        Jc = jnp.concatenate([Jth, Jt], axis=-1)
+        return r, Jc, Jx
+
+    return jax.vmap(one)(R, t, X, obs_uv)
+
+
+def plane_point_residual(n, d, X, sigma):
+    """r = sqrt((nᵀX + d)² + 1e-12)/σ (utils.hpp:134-139)."""
+    e = -(n @ X + d)
+    return jnp.sqrt(e * e + 1e-12) / sigma
+
+
+def plane_point_batch(n_all, d_all, X_all, sigma):
+    """Batched residual (P,) + Jacobian (P, 3) wrt X."""
+
+    def one(n, d, X):
+        f = lambda dX: plane_point_residual(n, d, X + dX, sigma)
+        zero3 = jnp.zeros(3, dtype=X_all.dtype)
+        return f(zero3), jax.jacfwd(f)(zero3)
+
+    return jax.vmap(one)(n_all, d_all, X_all)

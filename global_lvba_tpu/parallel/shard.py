@@ -1,0 +1,118 @@
+"""Sharded plane-factor evaluation + distributed LM.
+
+Two complementary paths:
+
+  * GSPMD: place the factor arrays with a NamedSharding over the 'factors'
+    mesh axis and jit the existing kernels — XLA partitions the einsums
+    and segment-sums and inserts the psum/all-reduce for the (r, g, H)
+    accumulation automatically.  This is the default production path.
+  * shard_map: an explicit per-device evaluation with a hand-placed psum,
+    bit-matching the GSPMD result; useful as a determinism/locality control
+    and as the template for multi-host DCN reductions.
+
+Both generalize the reference's divide_thread 16-thread reduction
+(/root/reference/include/BALM/bavoxel.hpp:597-639) to a device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..factors.plane_eigen import PlaneFactorArrays, plane_cost_grad_hess, plane_cost
+from ..solver.lm import LMResult, lm_damping_iter
+
+
+def _pad_rows_to(fa: PlaneFactorArrays, mult: int) -> PlaneFactorArrays:
+    V = fa.n.shape[0]
+    Vp = ((V + mult - 1) // mult) * mult
+    if Vp == V:
+        return fa
+    pad = [(0, Vp - V)]
+
+    def z(x):
+        cfg = pad + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg)
+
+    return PlaneFactorArrays(z(fa.n), z(fa.mu), z(fa.Pc), z(fa.frame))
+
+
+def shard_buckets(
+    buckets: Sequence[PlaneFactorArrays], mesh: Mesh, axis: str = "factors"
+) -> List[PlaneFactorArrays]:
+    """Place bucket voxel rows sharded across the mesh's factor axis."""
+    n = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    out = []
+    for fa in buckets:
+        fa = _pad_rows_to(fa, n)
+        out.append(
+            PlaneFactorArrays(
+                n=jax.device_put(fa.n, sharding),
+                mu=jax.device_put(fa.mu, sharding),
+                Pc=jax.device_put(fa.Pc, sharding),
+                frame=jax.device_put(fa.frame, sharding),
+            )
+        )
+    return out
+
+
+def sharded_cost_grad_hess(
+    fa: PlaneFactorArrays,
+    R: jnp.ndarray,
+    p: jnp.ndarray,
+    num_frames: int,
+    mesh: Mesh,
+    axis: str = "factors",
+):
+    """Explicit shard_map evaluation with psum reduction over `axis`."""
+    pspec = P(axis)
+    rspec = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, rspec, rspec),
+        out_specs=(rspec, rspec, rspec),
+    )
+    def eval_shard(n, mu, Pc, frame, R_, p_):
+        local = PlaneFactorArrays(n, mu, Pc, frame)
+        r, g, H = plane_cost_grad_hess(local, R_, p_, num_frames)
+        r = jax.lax.psum(r, axis)
+        g = jax.lax.psum(g, axis)
+        H = jax.lax.psum(H, axis)
+        return r, g, H
+
+    fa = _pad_rows_to(fa, mesh.shape[axis])
+    return eval_shard(fa.n, fa.mu, fa.Pc, fa.frame, R, p)
+
+
+def lm_damping_iter_sharded(
+    buckets: Sequence[PlaneFactorArrays],
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "factors",
+    max_iters: int = 10,
+) -> LMResult:
+    """LM over factor-sharded buckets via GSPMD: data sharded, kernels jitted.
+
+    XLA partitions the per-voxel work across the mesh and inserts the
+    cross-device reductions; the small damped solve stays replicated.
+    """
+    sharded = shard_buckets(buckets, mesh, axis)
+    rep = NamedSharding(mesh, P())
+    R0 = jax.device_put(R0, rep)
+    p0 = jax.device_put(p0, rep)
+
+    @jax.jit
+    def run(R, p):
+        return lm_damping_iter(sharded, R, p, max_iters=max_iters)
+
+    return run(R0, p0)

@@ -1,0 +1,155 @@
+"""Levenberg-Marquardt driver for the LiDAR plane-eigen BA.
+
+Replicates BALM2::damping_iter (/root/reference/include/BALM/
+bavoxel.hpp:662-767) as a pure-JAX `lax.while_loop`:
+
+  * Nielsen damping: u = 0.01, v = 2; on acceptance
+    u *= max(1/3, 1 - (2q-1)^3), v = 2; on rejection u *= v, v *= 2;
+  * at most `max_iters` (reference: 10) outer iterations;
+  * AVG_THR residual convention: residuals and the model decrease q1 are
+    averaged over the factor count (bavoxel.hpp:634-635, 730-732);
+  * convergence when |r1 - r2| / r1 < 1e-6 (bavoxel.hpp:759-761);
+  * the Hessian is recomputed only after accepted steps (is_calc_hess);
+  * gauge left free — no pose is fixed, damping regularizes
+    (matching the reference's free-gauge convention).
+
+The damped normal equations are solved densely; for a window of W poses the
+system is (6W, 6W) — tiny next to the factor evaluation, which is the real
+per-iteration cost and runs as the batched fused kernel in
+factors/plane_eigen.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.plane_eigen import (
+    PlaneFactorArrays,
+    plane_cost,
+    plane_cost_grad_hess,
+)
+from ..geometry.se3 import boxplus_pose
+
+
+class LMResult(NamedTuple):
+    R: jnp.ndarray
+    p: jnp.ndarray
+    iters: jnp.ndarray
+    residual: jnp.ndarray
+
+
+def _total_cost(buckets: Sequence[PlaneFactorArrays], R, p):
+    c = jnp.zeros((), dtype=R.dtype)
+    for fa in buckets:
+        c = c + plane_cost(fa, R, p)
+    return c
+
+
+def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W):
+    resid = jnp.zeros((), dtype=R.dtype)
+    g = jnp.zeros((W, 6), dtype=R.dtype)
+    H = jnp.zeros((W, 6, W, 6), dtype=R.dtype)
+    for fa in buckets:
+        r_, g_, H_ = plane_cost_grad_hess(fa, R, p, W)
+        resid, g, H = resid + r_, g + g_, H + H_
+    return resid, g.reshape(W * 6), H.reshape(W * 6, W * 6)
+
+
+def _solve_damped(H, g, u, refine: bool = True):
+    """Solve (H + u * diag(H)) dx = -g with optional iterative refinement."""
+    d = jnp.diagonal(H)
+    A = H + jnp.diag(u * d)
+    lu, piv = jax.scipy.linalg.lu_factor(A)
+    dx = jax.scipy.linalg.lu_solve((lu, piv), -g)
+    if refine:
+        r = -g - A @ dx
+        dx = dx + jax.scipy.linalg.lu_solve((lu, piv), r)
+    return dx
+
+
+def lm_damping_iter(
+    buckets: Sequence[PlaneFactorArrays],
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    max_iters: int = 10,
+    u_init: float = 0.01,
+    v_init: float = 2.0,
+    rel_tol: float = 1e-6,
+) -> LMResult:
+    """Run damped LM over plane-eigen factor buckets. Pure JAX, jittable."""
+    W = R0.shape[0]
+    g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+    g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
+
+    def cgh(R, p):
+        r, g, H = _total_cgh(buckets, R, p, W)
+        return r / g_size_f, g, H
+
+    def cost(R, p):
+        return _total_cost(buckets, R, p) / g_size_f
+
+    res1_0, g_0, H_0 = cgh(R0, p0)
+
+    # state: (R, p, u, v, res1, g, H, it, done)
+    state = (
+        R0,
+        p0,
+        jnp.asarray(u_init, R0.dtype),
+        jnp.asarray(v_init, R0.dtype),
+        res1_0,
+        g_0,
+        H_0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.bool_),
+    )
+
+    def cond_fn(s):
+        *_, it, done = s
+        return (it < max_iters) & (~done)
+
+    def body_fn(s):
+        R, p, u, v, res1, g, H, it, done = s
+        dx = _solve_damped(H, g, u)
+        dxp = dx.reshape(W, 6)
+        R_t, p_t = boxplus_pose(R, p, dxp)
+        d = jnp.diagonal(H)
+        q1 = 0.5 * jnp.dot(dx, u * d * dx - g) / g_size_f
+        res2 = cost(R_t, p_t)
+        q = res1 - res2
+        accept = q > 0
+
+        qr = q / jnp.where(q1 == 0, 1.0, q1)
+        u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+        u_new = jnp.where(accept, u_acc, u * v)
+        v_new = jnp.where(accept, jnp.asarray(2.0, R.dtype), 2.0 * v)
+
+        R_new = jnp.where(accept, R_t, R)
+        p_new = jnp.where(accept, p_t, p)
+
+        # recompute Hessian only after acceptance
+        def recompute(_):
+            return cgh(R_t, p_t)
+
+        def keep(_):
+            return res1, g, H
+
+        res1_new, g_new, H_new = jax.lax.cond(accept, recompute, keep, None)
+
+        converged = jnp.abs(res1 - res2) / jnp.where(res1 == 0, 1.0, jnp.abs(res1)) < rel_tol
+        return (
+            R_new,
+            p_new,
+            u_new,
+            v_new,
+            res1_new,
+            g_new,
+            H_new,
+            it + 1,
+            done | converged,
+        )
+
+    R, p, u, v, res1, g, H, it, done = jax.lax.while_loop(cond_fn, body_fn, state)
+    return LMResult(R=R, p=p, iters=it, residual=res1)

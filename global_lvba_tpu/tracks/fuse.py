@@ -1,0 +1,269 @@
+"""Batched track 3D fusion: depth-fused + DLT candidates, on device.
+
+Replicates the per-component geometry of BuildTracksAndFuse3D
+(/root/reference/src/lvba_system.cpp:1005-1263) as padded batched JAX over
+all tracks at once:
+
+  depth candidate (:1020-1106)
+    bilinear LiDAR-depth at each observation -> back-projected world point;
+    anchor clustering (points within 0.12 m of the first valid one);
+    first-per-image dedup; greedy view-angle filter (keep an observation if
+    no kept direction yet or its min dot against kept dirs <= cos(8°));
+    candidate = mean of kept points, gated by mean reprojection <= 3 px
+    over >= obser_thr images;
+
+  triangulation candidate (:1108-1161)
+    homogeneous DLT over >= 4 unique images (AᵀA 4x4 smallest eigenvector,
+    TriangulateTrackDLT :52-111), view-angle filter seeded by the DLT
+    point, re-triangulation over the kept set, same reprojection gate;
+
+  selection (:1163-1205): whichever valid candidate has lower mean
+  reprojection error.
+
+The greedy view-angle filter is order-dependent; the reference iterates an
+unordered_map (unspecified order), here observations are scanned in sorted
+(image, keypoint) order — deterministic, and equivalent up to that
+reference-unspecified ordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import CameraModel, undistort_pixel_to_normalized
+from .build import TrackSet
+
+
+class FuseResult(NamedTuple):
+    Xw: jnp.ndarray          # (T, 3) fused world points
+    ok: jnp.ndarray          # (T,) track kept
+    kept_obs: jnp.ndarray    # (T, Omax) bool — inlier observations
+    mean_reproj: jnp.ndarray # (T,)
+    from_tri: jnp.ndarray    # (T,) bool — True if DLT candidate selected
+    tri_candidates: jnp.ndarray
+    tri_valid: jnp.ndarray
+
+
+def _bilinear_depth(depth_maps, img, uv, valid):
+    """Per-observation bilinear depth with the reference's validity rules."""
+    Mh, H, W = depth_maps.shape
+    u, v = uv[..., 0], uv[..., 1]
+    inb = (u >= 0) & (v >= 0) & (u < W - 1) & (v < H - 1) & valid
+    x = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    y = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    du = u - x
+    dv = v - y
+    d00 = depth_maps[img, y, x]
+    d10 = depth_maps[img, y, x + 1]
+    d01 = depth_maps[img, y + 1, x]
+    d11 = depth_maps[img, y + 1, x + 1]
+    pos = (d00 > 0) & (d10 > 0) & (d01 > 0) & (d11 > 0)
+    d = (1 - du) * (1 - dv) * d00 + du * (1 - dv) * d10 + (1 - du) * dv * d01 + du * dv * d11
+    return d, inb & pos & (d > 0)
+
+
+def _project(cam: CameraModel, Rcw, tcw, X):
+    """uv + valid for world point(s) X through cameras (broadcasted)."""
+    Xc = jnp.einsum("...ij,...j->...i", Rcw, X) + tcw
+    Z = Xc[..., 2]
+    ok = Z > 1e-12
+    z = jnp.where(ok, Z, 1.0)
+    x, y = Xc[..., 0] / z, Xc[..., 1] / z
+    r2 = x * x + y * y
+    radial = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2
+    xd = x * radial + 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
+    yd = y * radial + cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
+    return jnp.stack([cam.fx * xd + cam.cx, cam.fy * yd + cam.cy], axis=-1), ok
+
+
+def _first_per_image(img, member):
+    """Mask of the first member observation of each image (O(Omax²))."""
+    O = img.shape[-1]
+    same = img[..., :, None] == img[..., None, :]
+    earlier = jnp.tril(jnp.ones((O, O), dtype=bool), k=-1)
+    has_earlier = jnp.any(same & earlier & member[..., None, :], axis=-1)
+    return member & ~has_earlier
+
+
+def _view_angle_filter(dirs, member, cos_thr):
+    """Greedy sequential keep-filter over observations (scan order).
+
+    Keep obs o if member[o] and (no kept yet, or min over kept dirs of
+    dot(dir_o, dir_k) <= cos_thr)  — lvba_system.cpp:1086-1095.
+    """
+    O = dirs.shape[0]
+
+    def body(carry, o):
+        kept_mask = carry
+        d = dirs[o]
+        dots = jnp.einsum("kj,j->k", dirs, d)
+        dots = jnp.where(kept_mask, dots, jnp.inf)
+        min_dot = jnp.min(dots)
+        none_kept = ~jnp.any(kept_mask)
+        keep = member[o] & (none_kept | (min_dot <= cos_thr))
+        kept_mask = kept_mask.at[o].set(keep)
+        return kept_mask, keep
+
+    kept, _ = jax.lax.scan(body, jnp.zeros(O, dtype=bool), jnp.arange(O))
+    return kept
+
+
+def _mean_reproj(cam, Rcw_o, tcw_o, uv_obs, member, X, min_count):
+    """Mean pixel reprojection error of X over member obs (ComputeMeanReproj,
+    lvba_system.cpp:8-50): obs with invalid projection are skipped."""
+    uv_hat, ok = _project(cam, Rcw_o, tcw_o, X[None, :])
+    use = member & ok
+    err = jnp.linalg.norm(uv_hat - uv_obs, axis=-1)
+    cnt = jnp.sum(use)
+    mean = jnp.sum(jnp.where(use, err, 0.0)) / jnp.maximum(cnt, 1)
+    valid = (cnt >= min_count) & jnp.isfinite(mean)
+    return jnp.where(valid, mean, jnp.inf), cnt, valid
+
+
+def _dlt(cam, Rcw_o, tcw_o, uv_obs, member):
+    """Homogeneous DLT (TriangulateTrackDLT, lvba_system.cpp:52-111)."""
+    xy, uok = undistort_pixel_to_normalized(cam, uv_obs)
+    use = (member & uok)[..., None]
+    P = jnp.concatenate([Rcw_o, tcw_o[..., :, None]], axis=-1)  # (O, 3, 4)
+    row_u = xy[..., 0:1] * P[..., 2, :] - P[..., 0, :]          # (O, 4)
+    row_v = xy[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+    row_u = jnp.where(use, row_u, 0.0)
+    row_v = jnp.where(use, row_v, 0.0)
+    AtA = jnp.einsum("oi,oj->ij", row_u, row_u) + jnp.einsum("oi,oj->ij", row_v, row_v)
+    rows = 2 * jnp.sum(member & uok)
+    lams, V = jnp.linalg.eigh(AtA)
+    Xh = V[:, 0]
+    wcomp = Xh[3]
+    ok = (rows >= 8) & (jnp.abs(wcomp) >= 1e-12)
+    X = Xh[0:3] / jnp.where(jnp.abs(wcomp) < 1e-12, 1.0, wcomp)
+    ok = ok & jnp.all(jnp.isfinite(X))
+    return X, ok
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9))
+def _fuse_all(
+    cam: CameraModel,
+    obs_img, obs_uv, obs_valid,
+    depth_maps, Rcw_all, tcw_all,
+    obser_thr: int,
+    min_view_angle_deg: float,
+    reproj_thr: float,
+):
+    cos_thr = jnp.cos(jnp.deg2rad(min_view_angle_deg))
+    Rcw_o = Rcw_all[obs_img]     # (T, O, 3, 3)
+    tcw_o = tcw_all[obs_img]     # (T, O, 3)
+    C_o = -jnp.einsum("toji,toj->toi", Rcw_o, tcw_o)  # camera centers
+
+    # ---------------- depth-fused candidate ----------------
+    d, dvalid = _bilinear_depth(depth_maps, obs_img, obs_uv, obs_valid)
+    xy_n, uok = undistort_pixel_to_normalized(cam, obs_uv)
+    Xc = jnp.concatenate([xy_n * d[..., None], d[..., None]], axis=-1)
+    Xw_o = jnp.einsum("toji,toj->toi", Rcw_o, Xc - tcw_o)  # cam→world
+    valid = dvalid & uok & obs_valid & (d > 0)
+
+    def depth_candidate(Xw_o, valid, img, uvs, Rcw_o, tcw_o, C_o):
+        O = valid.shape[0]
+        any_valid = jnp.any(valid)
+        first_idx = jnp.argmax(valid)
+        anchor = Xw_o[first_idx]
+        dist = jnp.linalg.norm(Xw_o - anchor, axis=-1)
+        inlier = valid & (dist < 0.12)
+        n_valid = jnp.sum(valid)
+        best = _first_per_image(img, inlier)
+        n_img = jnp.sum(best)
+        Xd = jnp.sum(jnp.where(best[:, None], Xw_o, 0.0), axis=0) / jnp.maximum(n_img, 1)
+        # view-angle filter: dirs from each obs's own 3D point
+        dirs = Xw_o - C_o
+        nrm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dir_ok = nrm[..., 0] > 1e-6
+        dirs = dirs / jnp.where(nrm < 1e-6, 1.0, nrm)
+        kept = _view_angle_filter(dirs, best & dir_ok, cos_thr)
+        n_kept = jnp.sum(kept)
+        mean, cnt, mr_ok = _mean_reproj(cam, Rcw_o, tcw_o, uvs, kept, Xd, obser_thr)
+        ok = (
+            (n_valid >= obser_thr)
+            & (n_img >= obser_thr)
+            & (n_kept >= obser_thr)
+            & mr_ok
+            & (mean <= reproj_thr)
+            & any_valid
+        )
+        return Xd, ok, kept, jnp.where(ok, mean, jnp.inf)
+
+    Xd, d_ok, d_kept, d_mean = jax.vmap(depth_candidate)(
+        Xw_o, valid, obs_img, obs_uv, Rcw_o, tcw_o, C_o
+    )
+
+    # ---------------- triangulation candidate ----------------
+    def tri_candidate(img, uvs, member, Rcw_o, tcw_o, C_o):
+        unique = _first_per_image(img, member)
+        n_img = jnp.sum(unique)
+        is_cand = n_img >= 4
+        Xseed, seed_ok = _dlt(cam, Rcw_o, tcw_o, uvs, unique)
+        seed_mean, seed_cnt, seed_mr_ok = _mean_reproj(
+            cam, Rcw_o, tcw_o, uvs, unique, Xseed, 4
+        )
+        seed_ok = seed_ok & seed_mr_ok
+        dirs = Xseed[None, :] - C_o
+        nrm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dir_ok = nrm[..., 0] > 1e-6
+        dirs = dirs / jnp.where(nrm < 1e-6, 1.0, nrm)
+        kept = _view_angle_filter(dirs, unique & dir_ok, cos_thr)
+        n_kept = jnp.sum(kept)
+        Xt, dlt2_ok = _dlt(cam, Rcw_o, tcw_o, uvs, kept)
+        mean, cnt, mr_ok = _mean_reproj(cam, Rcw_o, tcw_o, uvs, kept, Xt, 4)
+        t_valid = is_cand & seed_ok & (n_kept >= 4) & dlt2_ok & mr_ok
+        ok = t_valid & (mean <= reproj_thr)
+        return Xt, ok, kept, jnp.where(ok, mean, jnp.inf), is_cand, t_valid
+
+    Xt, t_ok, t_kept, t_mean, is_cand, t_valid = jax.vmap(tri_candidate)(
+        obs_img, obs_uv, obs_valid, Rcw_o, tcw_o, C_o
+    )
+
+    # ---------------- selection (:1163-1205) ----------------
+    pick_tri = t_ok & (~d_ok | (t_mean < d_mean))
+    ok = t_ok | d_ok
+    Xw = jnp.where(pick_tri[:, None], Xt, Xd)
+    kept = jnp.where(pick_tri[:, None], t_kept, d_kept)
+    mean = jnp.where(pick_tri, t_mean, d_mean)
+    # reject zero/non-finite fused points (:1202-1205)
+    ok = ok & jnp.all(jnp.isfinite(Xw), axis=-1) & (jnp.linalg.norm(Xw, axis=-1) > 1e-12)
+    return FuseResult(
+        Xw=Xw,
+        ok=ok,
+        kept_obs=kept & ok[:, None],
+        mean_reproj=mean,
+        from_tri=pick_tri & ok,
+        tri_candidates=jnp.sum(is_cand),
+        tri_valid=jnp.sum(t_valid),
+    )
+
+
+def fuse_tracks(
+    cam: CameraModel,
+    tracks: TrackSet,
+    depth_maps: np.ndarray,
+    Rcw_all: np.ndarray,
+    tcw_all: np.ndarray,
+    obser_thr: int = 3,
+    min_view_angle_deg: float = 8.0,
+    reproj_thr: float = 3.0,
+    dtype=jnp.float32,
+) -> FuseResult:
+    return _fuse_all(
+        cam,
+        jnp.asarray(tracks.obs_img),
+        jnp.asarray(tracks.obs_uv, dtype),
+        jnp.asarray(tracks.obs_valid),
+        jnp.asarray(depth_maps, dtype),
+        jnp.asarray(Rcw_all, dtype),
+        jnp.asarray(tcw_all, dtype),
+        int(obser_thr),
+        float(min_view_angle_deg),
+        float(reproj_thr),
+    )
