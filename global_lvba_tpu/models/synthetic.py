@@ -138,3 +138,117 @@ def ate_rmse(p_est: np.ndarray, p_ref: np.ndarray, align: bool = True) -> float:
         a = (Rali @ A.T).T + cb
         b = B + cb
     return float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1))))
+
+
+# ---------------------------------------------------------------------------
+# Joint LiDAR-visual scene
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class JointScene:
+    lidar: PlaneScene
+    cam: "object"                 # CameraModel
+    image_times: np.ndarray       # (M,)
+    image_frame: np.ndarray       # (M,) lidar frame index per image
+    keypoints: list               # per image (K_i, 2) float32 pixel coords
+    matches: dict                 # {(i, j): (m, 2) int32}
+    kp_landmark: list             # per image (K_i,) landmark id (ground truth)
+    landmarks: np.ndarray         # (L, 3) world feature points
+    Rci: np.ndarray               # camera <- body rotation
+    tci: np.ndarray
+
+
+def make_joint_scene(
+    num_frames: int = 30,
+    points_per_frame: int = 12000,
+    num_landmarks: int = 1500,
+    image_stride: int = 1,
+    px_noise: float = 0.3,
+    cam=None,
+    seed: int = 0,
+    pair_window: int = 10,
+    lidar_noise: float = 0.004,
+) -> JointScene:
+    """LiDAR plane scene + camera observations of plane-borne landmarks.
+
+    Cameras sit on the body with a forward-looking extrinsic
+    (z_cam = x_body); landmarks are sampled on the scene planes, projected
+    into every image, perturbed by px_noise, and matched between image
+    pairs within `pair_window` — emulating the reference's input
+    (COLMAP-verified matches + per-frame LiDAR clouds)."""
+    from ..geometry.camera import CameraModel, project_cam_to_pixel
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed + 100)
+    scene = make_plane_scene(
+        num_frames=num_frames, points_per_frame=points_per_frame,
+        noise=lidar_noise, seed=seed,
+    )
+    if cam is None:
+        # wide FOV (~±47°) so wall-borne landmarks stay visible across frames
+        cam = CameraModel(
+            fx=110.0, fy=110.0, cx=120.0, cy=96.0,
+            k1=-0.05, k2=0.08, p1=-0.001, p2=0.0005, width=240, height=192,
+        )
+    Rci = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    tci = np.array([0.02, 0.01, -0.01])
+
+    # landmarks on the scene planes
+    e = 4.0
+    L = num_landmarks
+    lms = []
+    P = scene.planes_n.shape[0]
+    for i in range(L):
+        k = i % P
+        n, d = scene.planes_n[k], scene.planes_d[k]
+        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+        t1 = np.cross(n, a); t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        uv = rng.uniform(-e, e, 2)
+        lms.append(-d * n + uv[0] * t1 + uv[1] * t2)
+    landmarks = np.stack(lms)
+
+    image_frame = np.arange(0, num_frames, image_stride)
+    image_times = scene.times[image_frame]
+    keypoints = []
+    kp_landmark = []
+    for fi in image_frame:
+        Rcw = Rci @ scene.R_true[fi].T
+        tcw = -Rcw @ scene.p_true[fi] + tci
+        Xc = (Rcw @ landmarks.T).T + tcw
+        uv, Z, valid = project_cam_to_pixel(cam, jnp.asarray(Xc))
+        uv = np.array(uv)
+        valid = np.array(valid) & (np.array(Z) > 0.5) & (np.array(Z) < 40.0)
+        inb = (
+            (uv[:, 0] >= 2) & (uv[:, 0] < cam.width - 2)
+            & (uv[:, 1] >= 2) & (uv[:, 1] < cam.height - 2)
+        )
+        vis = np.flatnonzero(valid & inb)
+        perm = rng.permutation(vis.shape[0])
+        vis = vis[perm]
+        kps = uv[vis] + rng.normal(scale=px_noise, size=(vis.shape[0], 2))
+        keypoints.append(kps.astype(np.float32))
+        kp_landmark.append(vis.astype(np.int64))
+
+    matches = {}
+    M = len(image_frame)
+    for i in range(M):
+        for j in range(i + 1, min(i + 1 + pair_window, M)):
+            li = kp_landmark[i]
+            lj = kp_landmark[j]
+            common, ia, ja = np.intersect1d(li, lj, return_indices=True)
+            if common.shape[0]:
+                matches[(i, j)] = np.stack([ia, ja], axis=-1).astype(np.int32)
+
+    return JointScene(
+        lidar=scene,
+        cam=cam,
+        image_times=image_times,
+        image_frame=image_frame,
+        keypoints=keypoints,
+        matches=matches,
+        kp_landmark=kp_landmark,
+        landmarks=landmarks,
+        Rci=Rci,
+        tci=tci,
+    )
