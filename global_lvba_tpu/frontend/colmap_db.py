@@ -49,6 +49,16 @@ def load_colmap_db(
     db_path = Path(db_path)
     if not db_path.exists():
         return None
+    try:
+        return _load_colmap_db_inner(db_path, image_names, strict_count)
+    except sqlite3.Error:
+        # unusable/corrupt database -> caller falls back to the SIFT
+        # frontend, mirroring the reference's rebuild path
+        # (lvba_system.cpp:546-553)
+        return None
+
+
+def _load_colmap_db_inner(db_path, image_names, strict_count):
     con = sqlite3.connect(str(db_path))
     try:
         cur = con.cursor()

@@ -1,0 +1,344 @@
+"""Built-in SIFT feature extraction on device (the SiftGPU replacement).
+
+The reference shells out to the external SiftGPU library with params
+`-fo -1 -t 0.01 -e 12` (/root/reference/src/lvba_system.cpp:703-706); this
+module implements the same pipeline as batched JAX/XLA ops so extraction
+runs on TPU:
+
+  * Gaussian scale-space pyramid (first octave -1 = 2x upsample), 3
+    intervals/octave, sigma0 = 1.6 — separable depthwise convolutions;
+  * DoG extrema via 3x3x3 reduce-window max/min, contrast threshold
+    (default 0.01, SiftGPU -t) and edge rejection (r = 12, SiftGPU -e);
+  * quadratic subpixel refinement (one Newton step over (x, y, s));
+  * dominant gradient orientation (36-bin weighted histogram, smoothed);
+  * 4x4x8 = 128-d descriptors from a rotated 16x16 gradient sample grid
+    with trilinear binning, normalize -> clip 0.2 -> renormalize.
+
+Everything is padded/masked: each image yields exactly `max_kp` slots
+ranked by |DoG| response with a validity mask.  Irregular per-image
+keypoint counts exist only at the host boundary.
+
+Simplifications vs Lowe 2004 (documented divergences): one orientation per
+keypoint (no 0.8-peak duplication), one refinement iteration.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SiftParams(NamedTuple):
+    n_octaves: int = 5
+    n_scales: int = 3            # intervals per octave
+    sigma0: float = 1.6
+    first_octave: int = -1       # -1: upsample x2 (SiftGPU -fo -1)
+    contrast_thr: float = 0.01   # SiftGPU -t
+    edge_thr: float = 12.0       # SiftGPU -e
+    max_kp: int = 2048
+    ori_bins: int = 36
+    patch: int = 16              # descriptor sample grid
+
+
+class SiftFeatures(NamedTuple):
+    xy: jnp.ndarray        # (K, 2) pixel coords in the ORIGINAL image frame
+    sigma: jnp.ndarray     # (K,)
+    response: jnp.ndarray  # (K,) |DoG| value
+    orientation: jnp.ndarray  # (K,) radians
+    desc: jnp.ndarray      # (K, 128) L2-normalized uint-free float
+    valid: jnp.ndarray     # (K,) bool
+
+
+def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (H, W)."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    x = img[None, None]  # NCHW
+    kh = k[None, None, None, :]
+    kv = k[None, None, :, None]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (radius, radius)])
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(radius, radius), (0, 0)])
+    return x[0, 0]
+
+
+def _resize_half(img: jnp.ndarray) -> jnp.ndarray:
+    return img[::2, ::2]
+
+
+def _resize_double(img: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape
+    return jax.image.resize(img, (H * 2, W * 2), method="linear")
+
+
+def _local_extrema(dog: jnp.ndarray) -> jnp.ndarray:
+    """(S, H, W) -> bool mask of 26-neighborhood extrema on interior scales."""
+    mx = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_max = dog >= mx
+    is_min = dog <= mn
+    return is_max | is_min
+
+
+def _extract_octave(
+    gauss: jnp.ndarray,   # (S+3, H, W) gaussian images of this octave
+    params: SiftParams,
+    kp_per_octave: int,
+):
+    """Detect + refine keypoints in one octave.
+
+    Returns (xy (N,2) octave coords, scale_idx (N,), sigma_octave (N,),
+    response (N,), valid (N,)) padded to kp_per_octave.
+    """
+    S = params.n_scales
+    dog = gauss[1:] - gauss[:-1]                 # (S+2, H, W)
+    Hh, Ww = dog.shape[1], dog.shape[2]
+    ext = _local_extrema(dog)
+    # interior scales only: s in [1, S]
+    cand = ext & (jnp.abs(dog) > 0.8 * params.contrast_thr)
+    smask = jnp.zeros(dog.shape[0], dtype=bool).at[1 : S + 1].set(True)
+    cand = cand & smask[:, None, None]
+    # exclude border
+    border = 5
+    bm = jnp.zeros((Hh, Ww), dtype=bool).at[border:-border, border:-border].set(True)
+    cand = cand & bm[None]
+
+    score = jnp.where(cand, jnp.abs(dog), 0.0)
+    flat = score.reshape(-1)
+    k = kp_per_octave
+    top_val, top_idx = jax.lax.top_k(flat, k)
+    s_idx = top_idx // (Hh * Ww)
+    rem = top_idx % (Hh * Ww)
+    yy = rem // Ww
+    xx = rem % Ww
+    valid = top_val > 0
+
+    # quadratic refinement: one Newton step over (x, y, s)
+    def refine(s, y, x):
+        d = lambda ds, dy, dx: dog[s + ds, y + dy, x + dx]
+        g = jnp.stack(
+            [
+                0.5 * (d(0, 0, 1) - d(0, 0, -1)),
+                0.5 * (d(0, 1, 0) - d(0, -1, 0)),
+                0.5 * (d(1, 0, 0) - d(-1, 0, 0)),
+            ]
+        )
+        dxx = d(0, 0, 1) + d(0, 0, -1) - 2 * d(0, 0, 0)
+        dyy = d(0, 1, 0) + d(0, -1, 0) - 2 * d(0, 0, 0)
+        dss = d(1, 0, 0) + d(-1, 0, 0) - 2 * d(0, 0, 0)
+        dxy = 0.25 * (d(0, 1, 1) - d(0, 1, -1) - d(0, -1, 1) + d(0, -1, -1))
+        dxs = 0.25 * (d(1, 0, 1) - d(1, 0, -1) - d(-1, 0, 1) + d(-1, 0, -1))
+        dys = 0.25 * (d(1, 1, 0) - d(1, -1, 0) - d(-1, 1, 0) + d(-1, -1, 0))
+        Hm = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
+        Hm = Hm + 1e-9 * jnp.eye(3)
+        off = -jnp.linalg.solve(Hm, g)
+        off = jnp.clip(off, -0.5, 0.5)
+        val = d(0, 0, 0) + 0.5 * jnp.dot(g, off)
+        # edge rejection on the 2x2 spatial Hessian
+        tr = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        r = params.edge_thr
+        edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+        return off, val, edge_ok
+
+    offs, vals, edge_ok = jax.vmap(refine)(s_idx, yy, xx)
+    valid = valid & edge_ok & (jnp.abs(vals) > params.contrast_thr)
+    x_ref = xx.astype(jnp.float32) + offs[:, 0]
+    y_ref = yy.astype(jnp.float32) + offs[:, 1]
+    s_ref = s_idx.astype(jnp.float32) + offs[:, 2]
+    sigma_o = params.sigma0 * (2.0 ** (s_ref / S))
+    return (
+        jnp.stack([x_ref, y_ref], axis=-1),
+        s_idx,
+        sigma_o,
+        vals,
+        valid,
+    )
+
+
+def _grad_polar(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    dx = jnp.zeros_like(img).at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    dy = jnp.zeros_like(img).at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)
+    return mag, ang
+
+
+def _orientation_and_desc(
+    mag: jnp.ndarray, ang: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
+    params: SiftParams,
+):
+    """Dominant orientation + 128-d descriptor for keypoints of ONE scale
+    image. mag/ang: (H, W); xy: (N, 2) octave coords; sigma: (N,)."""
+    H, W = mag.shape
+    P = params.patch
+    NB = params.ori_bins
+
+    def one(xyk, sk):
+        # --- orientation: 36-bin histogram over a P x P window, gaussian
+        # weighted with 1.5*sigma
+        radius = 1.5 * sk * 2.0
+        lin = (jnp.arange(P) - (P - 1) / 2.0) / ((P - 1) / 2.0)  # [-1, 1]
+        gy, gx = jnp.meshgrid(lin * radius, lin * radius, indexing="ij")
+        sx = jnp.clip(xyk[0] + gx, 0, W - 1)
+        sy = jnp.clip(xyk[1] + gy, 0, H - 1)
+        xi = sx.astype(jnp.int32)
+        yi = sy.astype(jnp.int32)
+        m = mag[yi, xi]
+        a = ang[yi, xi]
+        w = jnp.exp(-(gx * gx + gy * gy) / (2.0 * (1.5 * sk) ** 2))
+        bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * NB).astype(jnp.int32) % NB
+        hist = jnp.zeros(NB).at[bins.reshape(-1)].add((m * w).reshape(-1))
+        # circular smooth x2
+        for _ in range(2):
+            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        ob = jnp.argmax(hist)
+        # parabolic peak interpolation
+        l = hist[(ob - 1) % NB]
+        c = hist[ob]
+        r = hist[(ob + 1) % NB]
+        denom = l - 2 * c + r
+        delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        theta = (ob + delta + 0.5) / NB * 2 * jnp.pi - jnp.pi
+
+        # --- descriptor: rotated 16x16 grid over 4x4 spatial bins
+        hist_w = 3.0 * sk          # bin width in octave pixels
+        span = hist_w * 2.0        # half-extent = 2 bins
+        u = (jnp.arange(P) + 0.5) / P * 4.0 - 2.0   # bin coords in [-2, 2)
+        gu, gv = jnp.meshgrid(u, u, indexing="ij")
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        # rotated sample positions
+        px = xyk[0] + (gv * ct - gu * st) * hist_w
+        py = xyk[1] + (gv * st + gu * ct) * hist_w
+        pxc = jnp.clip(px, 0, W - 1)
+        pyc = jnp.clip(py, 0, H - 1)
+        xi = pxc.astype(jnp.int32)
+        yi = pyc.astype(jnp.int32)
+        m2 = mag[yi, xi]
+        a2 = ang[yi, xi] - theta
+        wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2))
+        # trilinear binning: spatial bins from (gu, gv) in [-2, 2)
+        bu = gu + 2.0 - 0.5
+        bv = gv + 2.0 - 0.5
+        ob8 = (a2 + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
+        bu0 = jnp.floor(bu)
+        bv0 = jnp.floor(bv)
+        bo0 = jnp.floor(ob8)
+        fu = bu - bu0
+        fv = bv - bv0
+        fo = ob8 - bo0
+        desc = jnp.zeros((4, 4, 8))
+        contrib = m2 * wgt
+        for du in (0, 1):
+            for dv in (0, 1):
+                for do in (0, 1):
+                    wu = jnp.where(du == 0, 1 - fu, fu)
+                    wv = jnp.where(dv == 0, 1 - fv, fv)
+                    wo = jnp.where(do == 0, 1 - fo, fo)
+                    iu = (bu0 + du).astype(jnp.int32)
+                    iv = (bv0 + dv).astype(jnp.int32)
+                    io = (bo0 + do).astype(jnp.int32) % 8
+                    ok = (iu >= 0) & (iu < 4) & (iv >= 0) & (iv < 4)
+                    iu_s = jnp.clip(iu, 0, 3)
+                    iv_s = jnp.clip(iv, 0, 3)
+                    val = jnp.where(ok, contrib * wu * wv * wo, 0.0)
+                    desc = desc.at[iu_s.reshape(-1), iv_s.reshape(-1), io.reshape(-1)].add(
+                        val.reshape(-1)
+                    )
+        d = desc.reshape(128)
+        n = jnp.linalg.norm(d) + 1e-12
+        d = jnp.minimum(d / n, 0.2)
+        d = d / (jnp.linalg.norm(d) + 1e-12)
+        return theta, d
+
+    return jax.vmap(one)(xy, sigma)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftFeatures:
+    """Extract SIFT features from a grayscale image (H, W) float32 [0, 1]."""
+    S = params.n_scales
+    base = image
+    first_scale = 1.0
+    if params.first_octave == -1:
+        base = _resize_double(image)
+        first_scale = 0.5
+    # assumed camera sigma 0.5 (x2 if upsampled)
+    sigma_init = 0.5 / first_scale
+    delta = math.sqrt(max(params.sigma0 ** 2 - sigma_init ** 2, 0.01))
+    base = _blur(base, delta)
+
+    all_xy = []
+    all_sigma = []
+    all_resp = []
+    all_theta = []
+    all_desc = []
+    all_valid = []
+
+    octave_img = base
+    kp_per_octave = params.max_kp // 2
+    for o in range(params.n_octaves):
+        if octave_img.shape[0] < 16 or octave_img.shape[1] < 16:
+            break
+        scale = first_scale * (2 ** o)
+        # build gaussian stack
+        gs = [octave_img]
+        for s in range(1, S + 3):
+            sig_prev = params.sigma0 * 2 ** ((s - 1) / S)
+            sig_cur = params.sigma0 * 2 ** (s / S)
+            inc = math.sqrt(sig_cur ** 2 - sig_prev ** 2)
+            gs.append(_blur(gs[-1], inc))
+        gauss = jnp.stack(gs)
+        xy, s_idx, sigma_o, resp, valid = _extract_octave(gauss, params, kp_per_octave)
+
+        # orientation + descriptor per interior scale image
+        theta_all = jnp.zeros(xy.shape[0])
+        desc_all = jnp.zeros((xy.shape[0], 128))
+        for s in range(1, S + 1):
+            mag, ang = _grad_polar(gauss[s])
+            th, dd = _orientation_and_desc(mag, ang, xy, sigma_o, params)
+            sel = s_idx == s
+            theta_all = jnp.where(sel, th, theta_all)
+            desc_all = jnp.where(sel[:, None], dd, desc_all)
+
+        all_xy.append((xy + 0.5) * scale - 0.5)
+        all_sigma.append(sigma_o * scale)
+        all_resp.append(jnp.abs(resp))
+        all_theta.append(theta_all)
+        all_desc.append(desc_all)
+        all_valid.append(valid)
+        octave_img = _resize_half(gauss[S])
+
+    xy = jnp.concatenate(all_xy)
+    sigma = jnp.concatenate(all_sigma)
+    resp = jnp.concatenate(all_resp)
+    theta = jnp.concatenate(all_theta)
+    desc = jnp.concatenate(all_desc)
+    valid = jnp.concatenate(all_valid)
+
+    # global top max_kp by response
+    score = jnp.where(valid, resp, -1.0)
+    k = min(params.max_kp, score.shape[0])
+    top_val, top_idx = jax.lax.top_k(score, k)
+    return SiftFeatures(
+        xy=xy[top_idx],
+        sigma=sigma[top_idx],
+        response=resp[top_idx],
+        orientation=theta[top_idx],
+        desc=desc[top_idx],
+        valid=top_val > 0,
+    )

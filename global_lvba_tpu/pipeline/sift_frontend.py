@@ -1,0 +1,91 @@
+"""SIFT frontend stage: image loading, batched extraction, all-pairs match.
+
+The fallback path of extractAndMatchFeaturesGPU (/root/reference/src/
+lvba_system.cpp:687-833) when no COLMAP db is usable: extract per image
+(cached by timestamp), match every image pair, with SiftGPU-default
+acceptance (distmax 0.7, ratio 0.8, mutual best)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import LvbaConfig
+from ..frontend.matching import match_all_pairs
+from ..frontend.sift import SiftParams, extract_sift
+from ..utils.progress import progress_bar
+
+log = logging.getLogger("global_lvba_tpu.frontend")
+
+
+def load_gray_image(path, width: int, height: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.shape[1] != width or img.shape[0] != height:
+        img = cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
+    return img.astype(np.float32) / 255.0
+
+
+def extract_images(
+    images: Sequence[np.ndarray],
+    params: Optional[SiftParams] = None,
+):
+    """Run device SIFT on each grayscale image; returns (kps, descs, valids)."""
+    import jax.numpy as jnp
+
+    params = params or SiftParams()
+    kps: List[np.ndarray] = []
+    descs: List[np.ndarray] = []
+    valids: List[np.ndarray] = []
+    for i, img in enumerate(images):
+        feats = extract_sift(jnp.asarray(img, jnp.float32), params)
+        v = np.asarray(feats.valid)
+        kps.append(np.asarray(feats.xy, np.float32))
+        descs.append(np.asarray(feats.desc, np.float32))
+        valids.append(v)
+        progress_bar(i + 1, len(images))
+    return kps, descs, valids
+
+
+def extract_and_match_sift(
+    ds,                      # io.dataset.Dataset
+    cfg: LvbaConfig,
+    params: Optional[SiftParams] = None,
+) -> Tuple[List[np.ndarray], Dict[Tuple[int, int], np.ndarray]]:
+    """Full frontend from a Dataset: load, extract, match all pairs.
+
+    Returns (keypoints (K, 2) per image restricted to valid slots, matches).
+    """
+    imgs = [
+        load_gray_image(p, ds.cam.width, ds.cam.height) for p in ds.image_paths
+    ]
+    kps, descs, valids = extract_images(imgs, params)
+    M = len(imgs)
+    pairs = [(i, j) for i in range(M) for j in range(i + 1, M)]
+    matches = match_all_pairs(descs, valids, pairs)
+    # compact to valid keypoints only, remapping match indices
+    kps_out: List[np.ndarray] = []
+    remaps: List[np.ndarray] = []
+    for k in range(M):
+        v = valids[k]
+        remap = np.full(v.shape[0], -1, np.int64)
+        remap[v] = np.arange(v.sum())
+        remaps.append(remap)
+        kps_out.append(kps[k][v])
+    matches_out: Dict[Tuple[int, int], np.ndarray] = {}
+    for (i, j), m in matches.items():
+        mi = remaps[i][m[:, 0]]
+        mj = remaps[j][m[:, 1]]
+        ok = (mi >= 0) & (mj >= 0)
+        if np.any(ok):
+            matches_out[(i, j)] = np.stack([mi[ok], mj[ok]], axis=-1).astype(np.int32)
+    log.info(
+        "[sift] %d images, %d pairs matched, mean kp %.0f",
+        M, len(matches_out), np.mean([k.shape[0] for k in kps_out]),
+    )
+    return kps_out, matches_out

@@ -1,0 +1,165 @@
+"""System orchestrator — the LvbaSystem equivalent.
+
+Sequences the full refinement (runFullPipeline, /root/reference/src/
+lvba_system.cpp:136-142): dataset load -> global LiDAR BA -> visual BA
+with LiDAR assist -> exports, with stage-granular checkpoint/resume (the
+reference restarts only via its file caches; here every stage output is a
+deterministic .npz checkpoint).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import LvbaConfig
+from ..frontend.colmap_db import load_colmap_db
+from ..io.dataset import Dataset, load_dataset
+from ..utils.checkpoint import StageCheckpoint
+from ..utils.logging import get_logger, setup_logging
+from ..utils.metrics import MetricsRegistry, StageTimer
+from .lidar_ba import run_lidar_ba
+from .visual_ba import run_visual_ba
+
+log = get_logger("global_lvba_tpu.system")
+
+
+class LvbaSystem:
+    """End-to-end pipeline runner over a Dataset (or in-memory equivalent)."""
+
+    def __init__(
+        self,
+        cfg: LvbaConfig,
+        dataset: Optional[Dataset] = None,
+        out_dir: Optional[str] = None,
+        resume: bool = True,
+    ):
+        setup_logging()
+        self.cfg = cfg
+        self.ds = dataset if dataset is not None else load_dataset(cfg)
+        self.out_dir = Path(out_dir) if out_dir else self.ds.root / "lvba_out"
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt = StageCheckpoint(self.out_dir, enable=True)
+        self.resume = resume
+        self.metrics = MetricsRegistry()
+        self.timer = StageTimer(self.metrics)
+        # pipeline state
+        self.R_opt = self.ds.lidar_R.copy()
+        self.p_opt = self.ds.lidar_p.copy()
+        self.visual_result = None
+
+    # ------------------------------------------------------------------
+    def run_lidar_ba(self):
+        """Windowed + two-stage global LiDAR BA (runLidarBA equivalent)."""
+        stage = "lidar_ba"
+        if self.resume and self.ckpt.has(stage):
+            data = self.ckpt.load(stage)
+            self.R_opt = data["R_opt"]
+            self.p_opt = data["p_opt"]
+            log.info("[lidar_ba] resumed from checkpoint")
+            return
+        with self.timer.stage(stage):
+            res = run_lidar_ba(
+                self.ds.clouds, self.ds.lidar_R, self.ds.lidar_p, self.cfg
+            )
+        self.R_opt = res.R_opt
+        self.p_opt = res.p_opt
+        self.metrics.set("lidar_ba/windows", res.stats["window"]["windows"])
+        self.metrics.set("lidar_ba/skipped", res.stats["window"]["skipped"])
+        self.ckpt.save(stage, R_opt=self.R_opt, p_opt=self.p_opt)
+
+    # ------------------------------------------------------------------
+    def _load_frontend(self):
+        """COLMAP db preferred; built-in SIFT fallback
+        (extractAndMatchFeaturesGPU structure, lvba_system.cpp:687-833)."""
+        names = [p.name for p in self.ds.image_paths]
+        if self.ds.colmap_db_path is not None:
+            out = load_colmap_db(self.ds.colmap_db_path, names)
+            if out is not None:
+                kps, matches = out
+                log.info("[frontend] loaded COLMAP db: %s", self.ds.colmap_db_path)
+                return [k[:, :2] for k in kps], matches
+            log.warning("[frontend] COLMAP db unusable, falling back to built-in SIFT")
+        from .sift_frontend import extract_and_match_sift
+
+        return extract_and_match_sift(self.ds, self.cfg)
+
+    def run_visual_ba(self):
+        stage = "visual_ba"
+        if self.resume and self.ckpt.has(stage):
+            data = self.ckpt.load(stage)
+            log.info("[visual_ba] resumed from checkpoint")
+            return data
+        keypoints, matches = self._load_frontend()
+        with self.timer.stage(stage):
+            res = run_visual_ba(
+                cam=self.ds.cam,
+                clouds=self.ds.clouds,
+                lidar_times=self.ds.lidar_times,
+                R_opt=self.R_opt, p_opt=self.p_opt,
+                R_orig=self.ds.lidar_R, p_orig=self.ds.lidar_p,
+                image_times=self.ds.image_times,
+                cam_R=self.ds.cam_R, cam_p=self.ds.cam_p,
+                Rci=self.ds.Rci, tci=self.ds.tci,
+                keypoints=keypoints,
+                matches=matches,
+                cfg=self.cfg,
+            )
+        self.visual_result = res
+        self.metrics.set("visual_ba/mean_reproj_pre", res.mean_reproj_pre)
+        self.metrics.set("visual_ba/mean_reproj_post", res.mean_reproj_post)
+        oc, op, ouv = res.track_obs
+        self.ckpt.save(
+            stage,
+            Rcw=res.Rcw, tcw=res.tcw, Rcw_pre=res.Rcw_pre, tcw_pre=res.tcw_pre,
+            points=res.points, points_pre=res.points_pre,
+            obs_cam=oc, obs_pt=op, obs_uv=ouv,
+            mean_reproj_pre=float(res.mean_reproj_pre),
+            mean_reproj_post=float(res.mean_reproj_post),
+        )
+        return res
+
+    # ------------------------------------------------------------------
+    def export_outputs(self, images: Optional[Sequence[np.ndarray]] = None):
+        """COLMAP sparse model + colored clouds (colmap_output/enable)."""
+        if self.visual_result is None or not self.cfg.colmap_output.enable:
+            return
+        from .outputs import colorize_clouds, write_colmap_sparse, write_colored_pcd
+        from .downsample import downsample_nearest_center
+
+        res = self.visual_result
+        cdir = self.out_dir / "Colmap"
+        write_colmap_sparse(cdir, res.Rcw, res.tcw, res.points)
+        if images is not None:
+            colored = colorize_clouds(
+                self.ds.cam, self.ds.clouds, self.ds.lidar_times,
+                self.R_opt, self.p_opt, self.ds.image_times, images,
+                res.Rcw, res.tcw,
+            )
+            if colored.shape[0]:
+                keep = downsample_nearest_center(
+                    colored[:, :3], self.cfg.colmap_output.filter_size_points3D
+                )
+                write_colored_pcd(cdir / "colored_merged_after.pcd", colored)
+
+    # ------------------------------------------------------------------
+    def run_full_pipeline(self, images=None) -> Dict:
+        if self.cfg.data_config.enable_lidar_ba:
+            self.run_lidar_ba()
+        result = {}
+        if self.cfg.data_config.enable_visual_ba:
+            res = self.run_visual_ba()
+            if hasattr(res, "mean_reproj_post"):
+                result["mean_reproj_pre"] = res.mean_reproj_pre
+                result["mean_reproj_post"] = res.mean_reproj_post
+            else:
+                result["mean_reproj_pre"] = res.get("mean_reproj_pre")
+                result["mean_reproj_post"] = res.get("mean_reproj_post")
+            self.export_outputs(images)
+        self.metrics.dump(self.out_dir / "metrics.json")
+        result["metrics"] = dict(self.metrics.values)
+        return result

@@ -184,10 +184,12 @@ def solve_visual_ba(
     max_iters: int = 50,
     u_init: float = 1e-3,
     rel_tol: float = 1e-8,
-    dtype=jnp.float64,
+    dtype=None,
     verbose: bool = False,
 ) -> VisualBAResult:
     """Host-driven LM loop with jitted step (Ceres-equivalent semantics)."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
     consts = (
         prob.cam,

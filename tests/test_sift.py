@@ -1,0 +1,87 @@
+import numpy as np
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from global_lvba_tpu.frontend.sift import SiftParams, extract_sift
+from global_lvba_tpu.frontend.matching import match_pair_arrays, match_all_pairs
+
+
+def textured_image(h=400, w=500, seed=0, sigma=3.0):
+    rng = np.random.default_rng(seed)
+    img = ndi.gaussian_filter(rng.uniform(size=(h, w)).astype(np.float32), sigma)
+    return (img - img.min()) / (img.max() - img.min())
+
+
+PARAMS = SiftParams(max_kp=512, n_octaves=4)
+
+
+class TestExtraction:
+    def test_finds_keypoints(self):
+        img = textured_image()
+        f = extract_sift(jnp.asarray(img), PARAMS)
+        v = np.asarray(f.valid)
+        assert v.sum() > 200
+        xy = np.asarray(f.xy)[v]
+        assert xy[:, 0].min() >= 0 and xy[:, 0].max() < 500
+        assert xy[:, 1].min() >= 0 and xy[:, 1].max() < 400
+        d = np.asarray(f.desc)[v]
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
+
+    def test_blank_image_no_keypoints(self):
+        img = np.full((256, 256), 0.5, dtype=np.float32)
+        f = extract_sift(jnp.asarray(img), PARAMS)
+        assert np.asarray(f.valid).sum() == 0
+
+
+class TestMatching:
+    def test_shift_recovered_subpixel(self):
+        img1 = textured_image()
+        img2 = ndi.shift(img1, (-7.25, 12.5), order=3, mode="nearest")
+        f1 = extract_sift(jnp.asarray(img1), PARAMS)
+        f2 = extract_sift(jnp.asarray(img2), PARAMS)
+        m = match_pair_arrays(
+            np.asarray(f1.desc), np.asarray(f2.desc),
+            np.asarray(f1.valid), np.asarray(f2.valid),
+        )
+        assert m.shape[0] > 150
+        dxy = np.asarray(f2.xy)[m[:, 1]] - np.asarray(f1.xy)[m[:, 0]]
+        med = np.median(dxy, axis=0)
+        inliers = np.linalg.norm(dxy - med, axis=1) < 1.5
+        assert inliers.mean() > 0.9
+        resid = np.abs(dxy[inliers] - [12.5, -7.25]).mean(0)
+        assert resid.max() < 0.3  # subpixel
+
+    def test_rotation_robust(self):
+        img1 = textured_image(seed=1)
+        img2 = ndi.rotate(img1, 10.0, reshape=False, order=3, mode="nearest")
+        f1 = extract_sift(jnp.asarray(img1), PARAMS)
+        f2 = extract_sift(jnp.asarray(img2), PARAMS)
+        m = match_pair_arrays(
+            np.asarray(f1.desc), np.asarray(f2.desc),
+            np.asarray(f1.valid), np.asarray(f2.valid),
+        )
+        assert m.shape[0] > 100
+
+    def test_unrelated_images_few_matches(self):
+        img1 = textured_image(seed=2)
+        img2 = textured_image(seed=3)
+        f1 = extract_sift(jnp.asarray(img1), PARAMS)
+        f2 = extract_sift(jnp.asarray(img2), PARAMS)
+        m = match_pair_arrays(
+            np.asarray(f1.desc), np.asarray(f2.desc),
+            np.asarray(f1.valid), np.asarray(f2.valid),
+        )
+        # mutual-best + ratio + angle gates suppress random matches
+        assert m.shape[0] < 0.15 * np.asarray(f1.valid).sum()
+
+    def test_match_all_pairs(self):
+        img1 = textured_image(seed=4)
+        img2 = ndi.shift(img1, (2.0, -3.0), order=3, mode="nearest")
+        img3 = ndi.shift(img1, (-4.0, 1.0), order=3, mode="nearest")
+        fs = [extract_sift(jnp.asarray(i), PARAMS) for i in (img1, img2, img3)]
+        descs = [np.asarray(f.desc) for f in fs]
+        valids = [np.asarray(f.valid) for f in fs]
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        out = match_all_pairs(descs, valids, pairs)
+        assert set(out.keys()) == set(pairs)
+        assert all(m.shape[0] > 100 for m in out.values())
