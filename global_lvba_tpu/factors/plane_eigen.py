@@ -82,10 +82,12 @@ def plane_cost(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.nda
     return jnp.sum(jnp.where(voxel_valid, lams[..., 0], 0.0))
 
 
-def _per_voxel_hess(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
-    """Core: (residual_sum, grad_scatter, diag_scatter, pair_scatter) pieces.
+def _per_voxel_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
+    """Shared per-entry quantities for both Hessian formulations.
 
-    Returns flattened scatter contributions; caller segment-sums them.
+    Returns (resid, mask, nmask, N_safe, uk, Auk (V,K,3,6), w (V,K,3),
+    jjt (V,K,6), D (V,K,6,6) diagonal extras, B (V,2,3) with
+    umumT == -BᵀB).
     """
     V, K = fa.n.shape
     mask, N, N_safe, vbar, cov, Rk, pk, m = _aggregate(fa, R, p)
@@ -94,17 +96,18 @@ def _per_voxel_hess(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: in
     uk = U[..., :, 0]                                  # (V, 3)
     resid = jnp.sum(jnp.where(N > 0, lam0, 0.0))
 
-    # umumT = Σ_{i≠0} 2/(λ0-λi) u_i u_iᵀ  (bavoxel.hpp:107-110), guarded.
-    # floor keeps 2/den finite in f32 even for all-padding voxels (cov == 0)
+    # umumT = Σ_{i≠0} 2/(λ0-λi) u_i u_iᵀ  (bavoxel.hpp:107-110).  With
+    # ascending eigenvalues λi - λ0 >= 0, so umumT is negative semidefinite
+    # and factors as -BᵀB with B rows sqrt(2/(λi-λ0)) u_iᵀ — the key to the
+    # Gram-matrix Hessian assembly below.  The floor keeps the factor finite
+    # in f32 for degenerate/padding voxels (cov == 0).
     scale = jnp.maximum(jnp.abs(lams[..., 2]), 1e-20)
-    H_umum = jnp.zeros((V, 3, 3), dtype=cov.dtype)
+    B_rows = []
     for i in (1, 2):
         ui = U[..., :, i]
-        den = lam0 - lams[..., i]
-        den = jnp.where(jnp.abs(den) < 1e-9 * scale, -1e-9 * scale, den)
-        H_umum = H_umum + (2.0 / den)[..., None, None] * (
-            ui[..., :, None] * ui[..., None, :]
-        )
+        den = jnp.maximum(lams[..., i] - lam0, 1e-9 * scale)
+        B_rows.append(jnp.sqrt(2.0 / den)[..., None] * ui)
+    B = jnp.stack(B_rows, axis=-2)                      # (V, 2, 3)
 
     nmask = fa.n * mask                                 # (V, K)
     invN = 1.0 / N_safe
@@ -158,39 +161,44 @@ def _per_voxel_hess(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: in
     )
     D = D * mask[..., None, None]
 
-    # ---- all-pairs blocks (k, l) — shared formulas, symmetric by design ----
-    # base: Auk_kᵀ umumT Auk_l  (bavoxel.hpp:141,159)
-    G = jnp.einsum("vab,vkbm->vkam", H_umum, Auk)       # (V,K,3,6)
-    P_base = jnp.einsum("vkam,vlan->vklmn", Auk, G)      # (V,K,K,6,6)
-    invN2 = invN * invN
-    w_uk = w[..., :, None] * uk[:, None, None, :]        # outer(w_k, uk)
-    # rr: -2/N² w_k w_lᵀ ; rt: -2 n_l/N² (w_k ukᵀ) ; tr = rtᵀ-swap; tt: -2 n_k n_l/N² ukukᵀ
-    P_rr = (-2.0 * invN2)[:, None, None, None, None] * (
-        w[:, :, None, :, None] * w[:, None, :, None, :]
-    )
-    P_rt = (-2.0 * invN2)[:, None, None, None, None] * (
-        w_uk[:, :, None] * nmask[:, None, :, None, None]
-    )
-    P_tr = (-2.0 * invN2)[:, None, None, None, None] * (
-        jnp.swapaxes(w_uk, -1, -2)[:, None, :] * nmask[:, :, None, None, None]
-    )
-    P_tt = (-2.0 * invN2)[:, None, None, None, None] * (
-        ukukT[:, None, None] * (nmask[:, :, None] * nmask[:, None, :])[..., None, None]
-    )
-    P_corr_top = jnp.concatenate([P_rr, P_rt], axis=-1)
-    P_corr_bot = jnp.concatenate([P_tr, P_tt], axis=-1)
-    P_full = P_base + jnp.concatenate([P_corr_top, P_corr_bot], axis=-2)
-    pair_mask = (mask[:, :, None] & mask[:, None, :])
-    P_full = P_full * pair_mask[..., None, None]
+    return resid, mask, nmask, N_safe, uk, Auk, w, jjt, D, B
 
-    # flatten scatter targets
-    fid = fa.frame
-    grad_flat = jjt.reshape(V * K, 6)
-    grad_ids = fid.reshape(V * K)
-    diag_flat = D.reshape(V * K, 6, 6)
-    pair_ids = (fid[:, :, None] * W + fid[:, None, :]).reshape(V * K * K)
-    pair_flat = P_full.reshape(V * K * K, 6, 6)
-    return resid, grad_flat, grad_ids, diag_flat, pair_ids, pair_flat
+
+def _chunk_eval(fa_c: PlaneFactorArrays, R, p, W: int):
+    """One voxel chunk -> (resid, grad (W,6), diag (W,6,6), M (3V, 6W)).
+
+    The full cross-pose Hessian contribution of the chunk is the negative
+    Gram matrix -MᵀM.  Per voxel, three factor rows span all pair blocks:
+
+      rows 0-1:  B · Auk_k placed at frame f_k   (Auk_kᵀ umumT Auk_l
+                 = -(B Auk_k)ᵀ (B Auk_l), bavoxel.hpp:141,159)
+      row 2:     sqrt(2)/N · [w_k ; n_k u_k]     (all four rank-1
+                 correction blocks -2/N² [w;nu]_k [w;nu]_lᵀ,
+                 bavoxel.hpp:142-146,160-163 unified over k == l and k != l)
+
+    This replaces the reference's per-pair 6x6 block loops with one MXU
+    matmul over the stacked factor matrix — the key speed-of-light
+    restructuring of acc_evaluate2.
+    """
+    V, K = fa_c.n.shape
+    resid, mask, nmask, N_safe, uk, Auk, w, jjt, D, B = _per_voxel_core(
+        fa_c, R, p, W
+    )
+    fid = fa_c.frame
+    g = jax.ops.segment_sum(jjt.reshape(V * K, 6), fid.reshape(V * K), num_segments=W)
+    Hd = jax.ops.segment_sum(D.reshape(V * K, 6, 6), fid.reshape(V * K), num_segments=W)
+
+    BA = jnp.einsum("vab,vkbm->vkam", B, Auk)            # (V, K, 2, 6)
+    c = jnp.concatenate(
+        [w, nmask[..., None] * uk[:, None, :]], axis=-1
+    )                                                     # (V, K, 6)
+    c = (jnp.sqrt(2.0) / N_safe)[:, None, None] * c
+    rows = jnp.concatenate([BA, c[:, :, None, :]], axis=2)  # (V, K, 3, 6)
+    rows = rows * mask[..., None, None]
+    M = jnp.zeros((V, W, 3, 6), dtype=Auk.dtype)
+    M = M.at[jnp.arange(V)[:, None], fid].add(rows)
+    M = jnp.transpose(M, (0, 2, 1, 3)).reshape(V * 3, W * 6)
+    return resid, g, Hd, M
 
 
 def plane_cost_grad_hess(
@@ -198,16 +206,16 @@ def plane_cost_grad_hess(
     R: jnp.ndarray,
     p: jnp.ndarray,
     num_frames: int,
-    chunk_bytes: int = 128 * 1024 * 1024,
+    chunk_bytes: int = 256 * 1024 * 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Total (residual, gradient (W,6), Hessian (W,6,W,6)) over a bucket.
 
-    Chunked over voxels with lax.map so peak memory stays bounded by
-    `chunk_bytes` for the (chunk, K, K, 6, 6) pair tensor.
-    """
+    Gram-matrix assembly: H = scatter(diag extras) - Σ_chunks M_cᵀ M_c,
+    chunked over voxels so the (V, W, 3, 6) factor matrix stays within
+    `chunk_bytes`."""
     V, K = fa.n.shape
     W = num_frames
-    per_vox_bytes = K * K * 36 * 4
+    per_vox_bytes = W * 18 * 4 * 2
     chunk = max(1, min(V, chunk_bytes // max(per_vox_bytes, 1)))
     n_chunks = -(-V // chunk)
     Vpad = n_chunks * chunk
@@ -218,18 +226,19 @@ def plane_cost_grad_hess(
 
     fa_p = PlaneFactorArrays(pad(fa.n), pad(fa.mu), pad(fa.Pc), pad(fa.frame))
 
-    def one_chunk(fa_c: PlaneFactorArrays):
-        resid, g_flat, g_ids, d_flat, p_ids, p_flat = _per_voxel_hess(fa_c, R, p, W)
-        g = jax.ops.segment_sum(g_flat, g_ids, num_segments=W)
-        Hd = jax.ops.segment_sum(d_flat, g_ids, num_segments=W)
-        Hp = jax.ops.segment_sum(p_flat, p_ids, num_segments=W * W)
-        return resid, g, Hd, Hp
+    def body(carry, fa_c):
+        resid_a, g_a, Hd_a, H_a = carry
+        resid, g, Hd, M = _chunk_eval(fa_c, R, p, W)
+        H_a = H_a - jnp.dot(M.T, M, preferred_element_type=M.dtype)
+        return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
 
-    resids, gs, Hds, Hps = jax.lax.map(one_chunk, fa_p)
-    resid = jnp.sum(resids)
-    g = jnp.sum(gs, axis=0)                              # (W, 6)
-    Hd = jnp.sum(Hds, axis=0)                            # (W, 6, 6)
-    Hp = jnp.sum(Hps, axis=0).reshape(W, W, 6, 6)
-    H = Hp.at[jnp.arange(W), jnp.arange(W)].add(Hd)
-    H = jnp.transpose(H, (0, 2, 1, 3))                   # (W, 6, W, 6)
+    init = (
+        jnp.zeros((), R.dtype),
+        jnp.zeros((W, 6), R.dtype),
+        jnp.zeros((W, 6, 6), R.dtype),
+        jnp.zeros((W * 6, W * 6), R.dtype),
+    )
+    (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
+    H = Hq.reshape(W, 6, W, 6)
+    H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
     return resid, g, H

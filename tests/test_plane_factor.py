@@ -154,3 +154,26 @@ class TestPlaneGradHess:
         Hs = np.abs(np.asarray(H64)).max()
         assert np.abs(np.asarray(g32) - np.asarray(g64)).max() < 1e-4 * gs
         assert np.abs(np.asarray(H32) - np.asarray(H64)).max() < 1e-3 * Hs
+
+
+class TestNumpyOracle:
+    def test_matches_numpy_reference(self):
+        # independent loop-based oracle (eval/baseline_cpu) vs fused kernel
+        from global_lvba_tpu.eval.baseline_cpu import numpy_plane_cost_grad_hess
+
+        scene, vm, buckets = setup_problem(num_frames=5, ppf=1500, seed=7)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02, seed=3)
+        W = 5
+        b = vm.buckets[0]
+        r_np, g_np, H_np = numpy_plane_cost_grad_hess(
+            b.n, b.mu, b.Pc, b.frame, Rp, pp, W
+        )
+        r_j, g_j, H_j = plane_cost_grad_hess(buckets[0], jnp.asarray(Rp), jnp.asarray(pp), W)
+        np.testing.assert_allclose(float(r_j), r_np, rtol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_j).reshape(-1), g_np, rtol=1e-6, atol=1e-9 * np.abs(g_np).max()
+        )
+        np.testing.assert_allclose(
+            np.asarray(H_j).reshape(W * 6, W * 6), H_np,
+            rtol=1e-6, atol=1e-8 * np.abs(H_np).max(),
+        )
