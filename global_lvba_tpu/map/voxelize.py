@@ -37,6 +37,20 @@ _KEY_OFF = 1 << (_KEY_BITS - 1)
 _DEFAULT_EIGEN_RATIOS = (0.3, 0.1, 0.06, 0.03)  # bavoxel.hpp:17
 
 
+def _argsort_keys(keys: np.ndarray) -> np.ndarray:
+    """int64 argsort — native radix sort when built, numpy otherwise."""
+    if keys.shape[0] > 1 << 16:
+        try:
+            from ..native import runtime as _nat
+
+            out = _nat.radix_argsort(keys)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return np.argsort(keys, kind="stable")
+
+
 def pack_voxel_keys(coords: np.ndarray) -> np.ndarray:
     """Pack integer voxel coords (N, 3) into int64 keys (N,)."""
     c = coords.astype(np.int64) + _KEY_OFF
@@ -226,7 +240,7 @@ def build_voxel_map(
                 plane_index.append(np.zeros(0, np.int64))
                 subdiv_keys.append(np.zeros(0, np.int64))
             break
-        order = np.argsort(keys, kind="stable")
+        order = _argsort_keys(keys)
         skeys = keys[order]
         change = np.empty(skeys.shape[0], dtype=bool)
         change[0] = True
@@ -311,7 +325,7 @@ def build_voxel_map(
     fsel = fid[sel].astype(np.int64)
     psel = pts[sel]
     pair = vsel * W + fsel
-    order = np.argsort(pair, kind="stable")
+    order = _argsort_keys(pair)
     spair = pair[order]
     if spair.size:
         change = np.empty(spair.shape[0], dtype=bool)

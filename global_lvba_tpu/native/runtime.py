@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host runtime (liblvba_native.so).
+
+Compiled lazily with g++ on first use; every entry point has a pure-numpy
+fallback in its caller, so the package works without a toolchain."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("global_lvba_tpu.native")
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "liblvba_native.so"
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _DIR / "lvba_native.cpp"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             str(src), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        log.info("native build unavailable: %s", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not _SO.exists():
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        log.info("native load failed: %s", e)
+        return None
+    lib.lvba_lzf_decompress.restype = ctypes.c_long
+    lib.lvba_lzf_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
+    lib.lvba_voxel_keys.restype = ctypes.c_int
+    lib.lvba_voxel_keys.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.lvba_radix_argsort.restype = None
+    lib.lvba_radix_argsort.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ]
+    lib.lvba_union_find.restype = None
+    lib.lvba_union_find.argtypes = [
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def lzf_decompress(data: bytes, expected: int) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(expected, dtype=np.uint8)
+    n = lib.lvba_lzf_decompress(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), expected
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def voxel_keys(pts: np.ndarray, voxel_size: float) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    out = np.empty(pts.shape[0], dtype=np.int64)
+    rc = lib.lvba_voxel_keys(
+        pts.ctypes.data_as(ctypes.c_void_p), pts.shape[0], float(voxel_size),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None
+
+
+def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    out = np.empty(keys.shape[0], dtype=np.int64)
+    lib.lvba_radix_argsort(
+        keys.ctypes.data_as(ctypes.c_void_p), keys.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def union_find(n: int, edges: np.ndarray) -> Optional[np.ndarray]:
+    """edges: (m, 2) int64 node pairs -> component root label per node."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(edges[:, 0], dtype=np.int64)
+    b = np.ascontiguousarray(edges[:, 1], dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    lib.lvba_union_find(
+        n,
+        a.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p),
+        a.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

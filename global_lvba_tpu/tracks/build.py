@@ -71,19 +71,32 @@ def build_components(
     for i in range(N):
         offsets[i + 1] = offsets[i] + len(keypoints[i])
     total = int(offsets[N])
-    uf = _UnionFind(total)
+    edge_list = []
     n_edges = 0
     for (i, j), m in matches.items():
         if m is None or len(m) == 0:
             continue
         ki = m[:, 0].astype(np.int64) + offsets[i]
         kj = m[:, 1].astype(np.int64) + offsets[j]
-        for a, b in zip(ki, kj):
-            uf.union(int(a), int(b))
+        edge_list.append(np.stack([ki, kj], axis=-1))
         n_edges += len(m)
+    edges = (
+        np.concatenate(edge_list) if edge_list else np.zeros((0, 2), np.int64)
+    )
 
-    # only nodes that appear in any match can form components
-    roots = np.array([uf.find(int(x)) for x in range(total)], dtype=np.int64)
+    # component labelling: native union-find when available, else python
+    roots = None
+    try:
+        from ..native import runtime as _nat
+
+        roots = _nat.union_find(total, edges)
+    except Exception:
+        roots = None
+    if roots is None:
+        uf = _UnionFind(total)
+        for a, b in edges:
+            uf.union(int(a), int(b))
+        roots = np.array([uf.find(int(x)) for x in range(total)], dtype=np.int64)
     # node -> image id
     node_img = np.zeros(total, dtype=np.int32)
     for i in range(N):

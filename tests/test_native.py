@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from global_lvba_tpu.native import runtime as nat
+
+
+needs_native = pytest.mark.skipif(
+    nat.get_lib() is None, reason="native toolchain unavailable"
+)
+
+
+@needs_native
+class TestNative:
+    def test_lzf_roundtrip_via_pcd(self, tmp_path):
+        # LZF: compress with a tiny reference compressor in python, decompress native
+        # Instead: decompress a hand-built literal-only stream
+        payload = bytes(range(256)) * 4
+        # literal-only LZF encoding: runs of <=32 bytes prefixed by len-1
+        enc = bytearray()
+        i = 0
+        while i < len(payload):
+            chunk = payload[i : i + 32]
+            enc.append(len(chunk) - 1)
+            enc += chunk
+            i += len(chunk)
+        out = nat.lzf_decompress(bytes(enc), len(payload))
+        assert out == payload
+
+    def test_voxel_keys_match_python(self):
+        from global_lvba_tpu.map.voxelize import pack_voxel_keys, voxel_coords
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-50, 50, size=(10000, 3)).astype(np.float32)
+        k_nat = nat.voxel_keys(pts, 0.5)
+        k_py = pack_voxel_keys(voxel_coords(pts.astype(np.float64), 0.5))
+        np.testing.assert_array_equal(k_nat, k_py)
+
+    def test_radix_argsort(self):
+        rng = np.random.default_rng(1)
+        keys = rng.integers(-(2**62), 2**62, size=100000)
+        perm = nat.radix_argsort(keys)
+        sorted_nat = keys[perm]
+        assert np.all(np.diff(sorted_nat) >= 0)
+
+    def test_union_find_components(self):
+        # two components: {0,1,2}, {3,4}; 5 isolated
+        edges = np.array([[0, 1], [1, 2], [3, 4]], dtype=np.int64)
+        labels = nat.union_find(6, edges)
+        assert labels[0] == labels[1] == labels[2]
+        assert labels[3] == labels[4]
+        assert labels[0] != labels[3]
+        assert labels[5] not in (labels[0], labels[3])
+
+    def test_union_find_matches_python_on_random_graph(self):
+        rng = np.random.default_rng(2)
+        n = 5000
+        edges = rng.integers(0, n, size=(20000, 2)).astype(np.int64)
+        labels = nat.union_find(n, edges)
+        # python reference
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        ref = np.array([find(i) for i in range(n)])
+        # same partition (compare canonical labels)
+        import itertools
+
+        def canon(lbl):
+            _, inv = np.unique(lbl, return_inverse=True)
+            return inv
+
+        np.testing.assert_array_equal(canon(labels), canon(ref))
