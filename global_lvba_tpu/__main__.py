@@ -1,0 +1,55 @@
+"""Command-line entry point.
+
+Replaces the reference's ROS node + launch file
+(`roslaunch Global-LVBA lvba.launch`, /root/reference/src/main.cpp:4-11,
+launch/lvba.launch):
+
+  python -m global_lvba_tpu run --config config.yaml [--data PATH]
+  python -m global_lvba_tpu info --config config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="global_lvba_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run the full LVBA refinement pipeline")
+    run_p.add_argument("--config", required=True, help="YAML config (reference schema)")
+    run_p.add_argument("--data", default=None, help="dataset root (overrides config)")
+    run_p.add_argument("--out", default=None, help="output directory")
+    run_p.add_argument("--no-resume", action="store_true")
+
+    info_p = sub.add_parser("info", help="print the parsed configuration")
+    info_p.add_argument("--config", required=True)
+
+    args = ap.parse_args(argv)
+
+    from .config import LvbaConfig
+
+    cfg = LvbaConfig.from_yaml(args.config)
+
+    if args.cmd == "info":
+        import dataclasses
+
+        print(json.dumps(dataclasses.asdict(cfg), indent=2))
+        return 0
+
+    if args.data:
+        cfg.data_config.data_path = args.data
+
+    from .pipeline.system import LvbaSystem
+
+    system = LvbaSystem(cfg, out_dir=args.out, resume=not args.no_resume)
+    result = system.run_full_pipeline()
+    print(json.dumps({k: v for k, v in result.items() if k != "metrics"}, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -232,11 +232,15 @@ def plane_cost_grad_hess(
         H_a = H_a - jnp.dot(M.T, M, preferred_element_type=M.dtype)
         return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
 
+    # derive the zero carry from the (possibly shard_map-varying) factor
+    # data so the scan carry has consistent varying-axis types under
+    # shard_map manual partitioning
+    zvar = (fa.n.ravel()[0] * 0).astype(R.dtype)
     init = (
-        jnp.zeros((), R.dtype),
-        jnp.zeros((W, 6), R.dtype),
-        jnp.zeros((W, 6, 6), R.dtype),
-        jnp.zeros((W * 6, W * 6), R.dtype),
+        zvar,
+        jnp.zeros((W, 6), R.dtype) + zvar,
+        jnp.zeros((W, 6, 6), R.dtype) + zvar,
+        jnp.zeros((W * 6, W * 6), R.dtype) + zvar,
     )
     (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
     H = Hq.reshape(W, 6, W, 6)

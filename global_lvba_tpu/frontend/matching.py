@@ -50,16 +50,66 @@ def match_pair(
     return j, ok
 
 
+def _pallas_match(d1, v1, d2, v2, distmax, ratiomax, tile=256):
+    """TPU fast path via the streaming Pallas kernel.
+
+    Rows/cols pad to tile multiples; a bias feature column pushes padded
+    columns' similarities to -3 (< any real dot product) so padding can
+    never win the top-2 or the mutual test.
+    """
+    from ..ops.pallas.matcher import top2_similarity
+
+    K1, K2 = d1.shape[0], d2.shape[0]
+    K1p = ((K1 + tile - 1) // tile) * tile
+    K2p = ((K2 + tile - 1) // tile) * tile
+    D = d1.shape[1]
+    Dp = ((D + 1 + 127) // 128) * 128
+
+    def prep(d, v, kp):
+        out = np.zeros((kp, Dp), dtype=np.float32)
+        out[: d.shape[0], :D] = d
+        bias = np.full(kp, -3.0, dtype=np.float32)
+        bias[: v.shape[0]][v] = 0.0
+        return out, bias
+
+    d1p, b1 = prep(d1, v1, K1p)
+    d2p, b2 = prep(d2, v2, K2p)
+    # bias column: row side carries 1, column side carries the bias value
+    d1p[:, D] = 1.0
+    d2p[:, D] = b2
+    vals, idx, colarg = top2_similarity(
+        jnp.asarray(d1p), jnp.asarray(d2p), tm=tile, tn=min(512, K2p)
+    )
+    vals = np.asarray(vals)[:K1]
+    idx = np.asarray(idx)[:K1]
+    colarg = np.asarray(colarg)
+    ang1 = np.arccos(np.clip(vals[:, 0], -1.0, 1.0))
+    ang2 = np.arccos(np.clip(vals[:, 1], -1.0, 1.0))
+    ok = (ang1 < distmax) & (ang1 < ratiomax * ang2) & v1[:K1]
+    ok &= idx < K2
+    mutual = colarg[np.clip(idx, 0, K2p - 1)] == np.arange(K1)
+    ok &= mutual
+    i = np.flatnonzero(ok)
+    return np.stack([i, idx[i]], axis=-1).astype(np.int32)
+
+
 def match_pair_arrays(
     d1: np.ndarray, d2: np.ndarray,
     v1: np.ndarray = None, v2: np.ndarray = None,
     distmax: float = 0.7, ratiomax: float = 0.8,
+    use_pallas: bool = None,
 ) -> np.ndarray:
     """Host wrapper: returns (m, 2) int32 match indices."""
     if d1.shape[0] == 0 or d2.shape[0] == 0:
         return np.zeros((0, 2), dtype=np.int32)
-    v1 = np.ones(d1.shape[0], bool) if v1 is None else v1
-    v2 = np.ones(d2.shape[0], bool) if v2 is None else v2
+    v1 = np.ones(d1.shape[0], bool) if v1 is None else np.asarray(v1, bool)
+    v2 = np.ones(d2.shape[0], bool) if v2 is None else np.asarray(v2, bool)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and min(
+            d1.shape[0], d2.shape[0]
+        ) >= 256
+    if use_pallas:
+        return _pallas_match(d1, v1, d2, v2, distmax, ratiomax)
     j, ok = match_pair(
         jnp.asarray(d1, jnp.float32), jnp.asarray(v1),
         jnp.asarray(d2, jnp.float32), jnp.asarray(v2),
@@ -80,12 +130,20 @@ def match_all_pairs(
     min_matches: int = 0,
 ) -> Dict[Tuple[int, int], np.ndarray]:
     """Match the given image pairs (the reference matches all O(N²) pairs,
-    lvba_system.cpp:462-466)."""
+    lvba_system.cpp:462-466).  Descriptors upload to device once; per-pair
+    work reuses the resident arrays (important when the device sits behind
+    a network tunnel)."""
+    dev_d = [jax.device_put(jnp.asarray(d, jnp.float32)) for d in descs]
+    dev_v = [jax.device_put(jnp.asarray(v)) for v in valids]
     out: Dict[Tuple[int, int], np.ndarray] = {}
     for (i, j) in pairs:
-        m = match_pair_arrays(
-            descs[i], descs[j], valids[i], valids[j], distmax, ratiomax
-        )
+        if descs[i].shape[0] == 0 or descs[j].shape[0] == 0:
+            continue
+        jj, ok = match_pair(dev_d[i], dev_v[i], dev_d[j], dev_v[j], distmax, ratiomax)
+        jj = np.asarray(jj)
+        ok = np.asarray(ok)
+        ii = np.flatnonzero(ok)
+        m = np.stack([ii, jj[ii]], axis=-1).astype(np.int32)
         if m.shape[0] > min_matches:
             out[(i, j)] = m
     return out

@@ -44,3 +44,26 @@ def make_mesh(
             raise ValueError("provide an explicit shape for >2 axes")
     arr = np.array(devs).reshape(shape)
     return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host initialization (jax.distributed) — the NCCL/MPI analogue.
+
+    On a TPU pod slice the arguments are auto-detected from the environment;
+    pass them explicitly for CPU multi-process simulation.  After this,
+    make_mesh() sees every chip of every host and the factor/keyframe
+    shardings reduce over ICI within hosts and DCN across hosts."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

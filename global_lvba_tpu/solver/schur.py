@@ -86,8 +86,9 @@ def _build_pairs(obs_pt: np.ndarray, num_pts: int):
 
 
 def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
-    cam, obs_cam, obs_pt, obs_uv, n_all, d_all = consts
+    cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     r = reproj_residuals_batch(cam, R, t, X, obs_cam, obs_pt, obs_uv, prob.sigma_px)
+    r = r * obs_w[:, None]
     c = jnp.sum(r * r)
     if prob.use_plane:
         rp, _ = plane_point_batch(n_all, d_all, X, prob.sigma_plane)
@@ -97,12 +98,16 @@ def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
 
 def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
     """One damped normal-equation build + solve. Returns (dc, dX, gnorm)."""
-    cam, obs_cam, obs_pt, obs_uv, n_all, d_all = consts
+    cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
 
     r, Jc, Jp = reproj_jacobians_batch(
         cam, R, t, X, obs_cam, obs_pt, obs_uv, prob.sigma_px
     )
+    # padded observations (obs_w == 0) contribute exactly nothing
+    r = r * obs_w[:, None]
+    Jc = Jc * obs_w[:, None, None]
+    Jp = Jp * obs_w[:, None, None]
     # gradients
     g_c = jax.ops.segment_sum(
         jnp.einsum("oab,oa->ob", Jc, r), obs_cam, num_segments=M
@@ -186,25 +191,62 @@ def solve_visual_ba(
     rel_tol: float = 1e-8,
     dtype=None,
     verbose: bool = False,
+    mesh=None,
+    shard_axis: str = "factors",
 ) -> VisualBAResult:
-    """Host-driven LM loop with jitted step (Ceres-equivalent semantics)."""
+    """Host-driven LM loop with jitted step (Ceres-equivalent semantics).
+
+    With `mesh`, observation and pair arrays are sharded over `shard_axis`
+    (GSPMD): XLA partitions the residual/Jacobian work and Schur scatter
+    across devices and inserts the all-reduces; the reduced (6M, 6M) camera
+    solve stays replicated.  Padded observations carry zero weight.
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
     pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
+    obs_cam = np.asarray(prob.obs_cam, np.int32)
+    obs_pt = np.asarray(prob.obs_pt, np.int32)
+    obs_uv = np.asarray(prob.obs_uv)
+    O = obs_cam.shape[0]
+    obs_w = np.ones(O, dtype=np.float64)
+
+    put = lambda x, sharded: jnp.asarray(x)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        n_dev = mesh.shape[shard_axis]
+        Opad = ((O + n_dev - 1) // n_dev) * n_dev
+        obs_cam = np.pad(obs_cam, (0, Opad - O))
+        obs_pt = np.pad(obs_pt, (0, Opad - O))
+        obs_uv = np.pad(obs_uv, ((0, Opad - O), (0, 0)))
+        obs_w = np.pad(obs_w, (0, Opad - O))
+        Q = pair_a.shape[0]
+        Qpad = ((Q + n_dev - 1) // n_dev) * n_dev
+        # padded pairs point at a zero-weight padded observation
+        pad_obs = np.int32(Opad - 1) if Opad > O else np.int32(0)
+        pair_a = np.pad(pair_a, (0, Qpad - Q), constant_values=pad_obs)
+        pair_b = np.pad(pair_b, (0, Qpad - Q), constant_values=pad_obs)
+        shard = NamedSharding(mesh, P_(shard_axis))
+        rep = NamedSharding(mesh, P_())
+
+        def put(x, sharded):
+            return jax.device_put(jnp.asarray(x), shard if sharded else rep)
+
     consts = (
         prob.cam,
-        jnp.asarray(prob.obs_cam, jnp.int32),
-        jnp.asarray(prob.obs_pt, jnp.int32),
-        jnp.asarray(prob.obs_uv, dtype),
-        jnp.asarray(prob.plane_n, dtype),
-        jnp.asarray(prob.plane_d, dtype),
+        put(obs_cam, True),
+        put(obs_pt, True),
+        put(np.asarray(obs_uv, np.float64).astype(dtype), True),
+        put(np.asarray(obs_w).astype(dtype), True),
+        put(np.asarray(prob.plane_n).astype(dtype), False),
+        put(np.asarray(prob.plane_d).astype(dtype), False),
     )
-    pa = jnp.asarray(pair_a)
-    pb = jnp.asarray(pair_b)
+    pa = put(pair_a, True)
+    pb = put(pair_b, True)
 
-    R = jnp.asarray(R0, dtype)
-    t = jnp.asarray(t0, dtype)
-    X = jnp.asarray(X0, dtype)
+    R = put(np.asarray(R0).astype(dtype), False)
+    t = put(np.asarray(t0).astype(dtype), False)
+    X = put(np.asarray(X0).astype(dtype), False)
 
     cost = jax.jit(partial(_cost_fn, prob, consts))
     step = jax.jit(partial(_normal_eq, prob, consts, pa, pb))

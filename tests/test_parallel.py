@@ -52,3 +52,30 @@ class TestSharding:
         # same optimization outcome (padding rows don't change the math)
         err = ate_rmse(np.asarray(res_shard.p), np.asarray(res_local.p))
         assert err < 1e-6
+
+
+class TestVisualBASharded:
+    def test_sharded_matches_local(self):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_visual_ba import make_visual_scene, CAM
+        from global_lvba_tpu.solver.schur import VisualBAProblem, solve_visual_ba
+
+        R, t, X, pn, pd, oc, op, uv = make_visual_scene(M=6, P=90, seed=11)
+        rng = np.random.default_rng(12)
+        t_init = t + rng.normal(scale=0.02, size=t.shape)
+        t_init[0] = t[0]
+        X_init = X + rng.normal(scale=0.03, size=X.shape)
+        prob = VisualBAProblem(
+            cam=CAM, obs_cam=oc, obs_pt=op, obs_uv=uv,
+            plane_n=pn, plane_d=pd, num_cams=R.shape[0], num_pts=X.shape[0],
+        )
+        mesh = make_mesh(8, ("factors",))
+        res_l = solve_visual_ba(prob, R, t_init, X_init, max_iters=15)
+        res_s = solve_visual_ba(prob, R, t_init, X_init, max_iters=15, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(res_s.t), np.asarray(res_l.t), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_s.X), np.asarray(res_l.X), atol=1e-7
+        )
