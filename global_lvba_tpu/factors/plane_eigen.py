@@ -185,8 +185,11 @@ def _chunk_eval(fa_c: PlaneFactorArrays, R, p, W: int):
         fa_c, R, p, W
     )
     fid = fa_c.frame
-    g = jax.ops.segment_sum(jjt.reshape(V * K, 6), fid.reshape(V * K), num_segments=W)
-    Hd = jax.ops.segment_sum(D.reshape(V * K, 6, 6), fid.reshape(V * K), num_segments=W)
+    # scatter-free accumulation: TPU scatters serialize, so every
+    # frame-indexed reduction is a one-hot contraction on the MXU instead
+    onehot = (fid[..., None] == jnp.arange(W, dtype=fid.dtype)).astype(Auk.dtype)
+    g = jnp.einsum("vkw,vkb->wb", onehot, jjt)
+    Hd = jnp.einsum("vkw,vkab->wab", onehot, D)
 
     BA = jnp.einsum("vab,vkbm->vkam", B, Auk)            # (V, K, 2, 6)
     c = jnp.concatenate(
@@ -195,9 +198,8 @@ def _chunk_eval(fa_c: PlaneFactorArrays, R, p, W: int):
     c = (jnp.sqrt(2.0) / N_safe)[:, None, None] * c
     rows = jnp.concatenate([BA, c[:, :, None, :]], axis=2)  # (V, K, 3, 6)
     rows = rows * mask[..., None, None]
-    M = jnp.zeros((V, W, 3, 6), dtype=Auk.dtype)
-    M = M.at[jnp.arange(V)[:, None], fid].add(rows)
-    M = jnp.transpose(M, (0, 2, 1, 3)).reshape(V * 3, W * 6)
+    M = jnp.einsum("vkw,vkrc->vrwc", onehot, rows)        # (V, 3, W, 6)
+    M = M.reshape(V * 3, W * 6)
     return resid, g, Hd, M
 
 

@@ -52,23 +52,16 @@ class LidarBAResult:
     stats: dict
 
 
-def _solve_ba(
-    pts_body: np.ndarray,
-    fids: np.ndarray,
-    R: np.ndarray,
-    p: np.ndarray,
-    voxel_size: float,
-    eigen_ratios: Sequence[float],
-    cfg: LvbaConfig,
-    min_voxels: int = 0,
-) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], int]:
-    """Voxelize + LM-solve one BA problem; returns (R, p, num_planes)."""
-    vm = build_voxel_map(
+def _build_vm(pts_body, fids, R, p, voxel_size, eigen_ratios, cfg: LvbaConfig):
+    return build_voxel_map(
         pts_body, fids, R, p, voxel_size,
         eigen_ratios=eigen_ratios,
         min_ps=cfg.solver.min_ps,
         layer_limit=cfg.solver.layer_limit,
     )
+
+
+def _solve_from_vm(vm, R, p, cfg: LvbaConfig, min_voxels: int = 0):
     if vm.num_planes < min_voxels or vm.num_planes == 0:
         return None, None, vm.num_planes
     dtype = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
@@ -80,6 +73,21 @@ def _solve_ba(
         max_iters=cfg.solver.lidar_max_iters,
     )
     return np.asarray(res.R, np.float64), np.asarray(res.p, np.float64), vm.num_planes
+
+
+def _solve_ba(
+    pts_body: np.ndarray,
+    fids: np.ndarray,
+    R: np.ndarray,
+    p: np.ndarray,
+    voxel_size: float,
+    eigen_ratios: Sequence[float],
+    cfg: LvbaConfig,
+    min_voxels: int = 0,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], int]:
+    """Voxelize + LM-solve one BA problem; returns (R, p, num_planes)."""
+    vm = _build_vm(pts_body, fids, R, p, voxel_size, eigen_ratios, cfg)
+    return _solve_from_vm(vm, R, p, cfg, min_voxels)
 
 
 def run_window_ba(
@@ -112,24 +120,44 @@ def run_window_ba(
         )
 
     t0 = time.time()
-    for start in range(0, F, window):
+    starts = list(range(0, F, window))
+
+    # pipeline staging: the host voxelization of window i+1 runs on a worker
+    # thread while window i's LM iterations execute on device (the TPU
+    # analogue of overlapping the frontend with solver iterations,
+    # SURVEY.md §2.3 item 4)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_for(start):
+        end = min(start + window, F)
+        pts = np.concatenate([clouds[j] for j in range(start, end)])
+        fids = np.concatenate(
+            [np.full(clouds[j].shape[0], j - start, dtype=np.int32)
+             for j in range(start, end)]
+        )
+        return _build_vm(
+            pts, fids, R_full[start:end], p_full[start:end],
+            cfg.BALM_stage1.root_voxel_size, wcfg.eigen_ratio_array, cfg,
+        )
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    futures = {}
+    if starts:
+        futures[starts[0]] = executor.submit(build_for, starts[0])
+    for wi, start in enumerate(starts):
         end = min(start + window, F)
         win = end - start
         if win <= 0:
             break
         stats["windows"] += 1
+        if wi + 1 < len(starts):
+            futures[starts[wi + 1]] = executor.submit(build_for, starts[wi + 1])
         R_win = R_full[start:end].copy()
         p_win = p_full[start:end].copy()
         R_odom, p_odom = R_win.copy(), p_win.copy()
-        pts = np.concatenate([clouds[j] for j in range(start, end)])
-        fids = np.concatenate(
-            [np.full(clouds[j].shape[0], j - start, dtype=np.int32) for j in range(start, end)]
-        )
-        R_sol, p_sol, n_planes = _solve_ba(
-            pts, fids, R_win, p_win,
-            cfg.BALM_stage1.root_voxel_size,
-            wcfg.eigen_ratio_array,
-            cfg,
+        vm = futures.pop(start).result()
+        R_sol, p_sol, n_planes = _solve_from_vm(
+            vm, R_win, p_win, cfg,
             min_voxels=cfg.solver.min_window_factor_ratio * win,
         )
         if R_sol is None:
@@ -161,6 +189,7 @@ def run_window_ba(
         anchor_p.append(ap)
         anchor_clouds.append(merged)
 
+    executor.shutdown(wait=True)
     stats["time_s"] = time.time() - t0
     if stats["windows"]:
         log.info(

@@ -270,3 +270,45 @@ def save_track_feature_images(
         cv2.putText(img, text, (12, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 0, 0), 1, cv2.LINE_AA)
         name = image_names[k] if image_names else f"{k}.png"
         cv2.imwrite(str(out_dir / name), img)
+
+
+def undistort_image(cam: CameraModel, img: np.ndarray) -> np.ndarray:
+    """Undistort with the same-intrinsics rectify map
+    (DatasetIO::undistortImage, dataset_io.cpp:15-26)."""
+    import cv2
+
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float64)
+    D = np.array([cam.k1, cam.k2, cam.p1, cam.p2, 0.0], np.float64)
+    m1, m2 = cv2.initUndistortRectifyMap(
+        K, D, np.eye(3), K, (img.shape[1], img.shape[0]), cv2.CV_16SC2
+    )
+    return cv2.remap(img, m1, m2, cv2.INTER_LINEAR)
+
+
+def draw_matches(
+    img1: np.ndarray, img2: np.ndarray,
+    kps1: np.ndarray, kps2: np.ndarray,
+    matches: np.ndarray,
+    path=None,
+) -> np.ndarray:
+    """Side-by-side match visualization (drawAndSaveMatchesGPU,
+    lvba_system.cpp:1880-1920): random colors, dot + dot + line."""
+    import cv2
+
+    H = max(img1.shape[0], img2.shape[0])
+    W = img1.shape[1] + img2.shape[1]
+    canvas = np.full((H, W, 3), 20, dtype=np.uint8)
+    canvas[: img1.shape[0], : img1.shape[1]] = img1
+    canvas[: img2.shape[0], img1.shape[1] :] = img2
+    rng = np.random.default_rng(12345)
+    off = img1.shape[1]
+    for i1, i2 in matches:
+        col = tuple(int(c) for c in rng.integers(64, 255, 3))
+        p1 = tuple(np.round(kps1[i1][:2]).astype(int))
+        p2 = tuple(np.round(kps2[i2][:2]).astype(int) + [off, 0])
+        cv2.circle(canvas, p1, 3, col, -1, cv2.LINE_AA)
+        cv2.circle(canvas, p2, 3, col, -1, cv2.LINE_AA)
+        cv2.line(canvas, p1, p2, col, 1, cv2.LINE_AA)
+    if path is not None:
+        cv2.imwrite(str(path), canvas)
+    return canvas

@@ -57,3 +57,14 @@ def rss_mb() -> float:
     except OSError:
         pass
     return -1.0
+
+
+def compute_mad(residuals) -> float:
+    """Median absolute deviation x 1.4826 (computeMAD, utils.hpp:294-303)."""
+    import numpy as np
+
+    r = np.asarray(residuals, dtype=np.float64)
+    if r.size == 0:
+        return -1.0
+    med = np.median(r)
+    return float(np.median(np.abs(r - med)) * 1.4826)
