@@ -104,15 +104,22 @@ def lm_damping_iter_sharded(
     """LM over factor-sharded buckets via GSPMD: data sharded, kernels jitted.
 
     XLA partitions the per-voxel work across the mesh and inserts the
-    cross-device reductions; the small damped solve stays replicated.
+    cross-device reductions.  When the mesh also carries a 'frames' axis,
+    the assembled (6W, 6W) reduced system is column-sharded over it —
+    keyframe-block state parallelism on top of factor data parallelism.
     """
     sharded = shard_buckets(buckets, mesh, axis)
     rep = NamedSharding(mesh, P())
     R0 = jax.device_put(R0, rep)
     p0 = jax.device_put(p0, rep)
+    h_sharding = None
+    if "frames" in mesh.axis_names:
+        h_sharding = NamedSharding(mesh, P(None, "frames"))
 
     @jax.jit
     def run(R, p):
-        return lm_damping_iter(sharded, R, p, max_iters=max_iters)
+        return lm_damping_iter(
+            sharded, R, p, max_iters=max_iters, h_sharding=h_sharding
+        )
 
     return run(R0, p0)

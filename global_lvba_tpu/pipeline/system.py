@@ -108,6 +108,7 @@ class LvbaSystem:
                 keypoints=keypoints,
                 matches=matches,
                 cfg=self.cfg,
+                depth_out_dir=self.out_dir / "depth",
             )
         self.visual_result = res
         self.metrics.set("visual_ba/mean_reproj_pre", res.mean_reproj_pre)

@@ -113,6 +113,7 @@ def run_visual_ba(
     keypoints: Sequence[np.ndarray],            # per image (K, >=2) px coords
     matches: Dict[Tuple[int, int], np.ndarray],
     cfg: LvbaConfig,
+    depth_out_dir=None,
 ) -> VisualBAResultFull:
     t_start = time.time()
     stats: dict = {}
@@ -133,6 +134,16 @@ def run_visual_ba(
         cam, gm, lidar_times, image_times, Rcw_pre, tcw_pre
     )
     stats["depth_s"] = time.time() - t0
+    if depth_out_dir is not None:
+        # persist timestamp-named 16-bit depth maps (lvba_system.cpp:907-915)
+        from pathlib import Path
+
+        from .outputs import save_depth_png
+
+        dd = Path(depth_out_dir)
+        dd.mkdir(parents=True, exist_ok=True)
+        for i, t_img in enumerate(image_times):
+            save_depth_png(dd / f"{t_img:.6f}.png", depth_maps[i])
 
     # 4-5. tracks
     t0 = time.time()

@@ -48,14 +48,19 @@ def _total_cost(buckets: Sequence[PlaneFactorArrays], R, p):
     return c
 
 
-def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W):
+def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None):
     resid = jnp.zeros((), dtype=R.dtype)
     g = jnp.zeros((W, 6), dtype=R.dtype)
     H = jnp.zeros((W, 6, W, 6), dtype=R.dtype)
     for fa in buckets:
         r_, g_, H_ = plane_cost_grad_hess(fa, R, p, W)
         resid, g, H = resid + r_, g + g_, H + H_
-    return resid, g.reshape(W * 6), H.reshape(W * 6, W * 6)
+    H = H.reshape(W * 6, W * 6)
+    if h_sharding is not None:
+        # keyframe-axis state parallelism: the assembled reduced system is
+        # column-sharded over the 'frames' mesh axis (SURVEY.md §2.3 item 2)
+        H = jax.lax.with_sharding_constraint(H, h_sharding)
+    return resid, g.reshape(W * 6), H
 
 
 def _solve_damped(H, g, u, refine: bool = True):
@@ -78,6 +83,7 @@ def lm_damping_iter(
     u_init: float = 0.01,
     v_init: float = 2.0,
     rel_tol: float = 1e-6,
+    h_sharding=None,
 ) -> LMResult:
     """Run damped LM over plane-eigen factor buckets. Pure JAX, jittable."""
     W = R0.shape[0]
@@ -85,7 +91,7 @@ def lm_damping_iter(
     g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
 
     def cgh(R, p):
-        r, g, H = _total_cgh(buckets, R, p, W)
+        r, g, H = _total_cgh(buckets, R, p, W, h_sharding)
         return r / g_size_f, g, H
 
     def cost(R, p):

@@ -79,3 +79,16 @@ class TestVisualBASharded:
         np.testing.assert_allclose(
             np.asarray(res_s.X), np.asarray(res_l.X), atol=1e-7
         )
+
+
+class Test2DMesh:
+    def test_factors_frames_mesh(self):
+        scene, buckets = build(seed=5)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.03, seed=6)
+        R0 = jnp.asarray(Rp)
+        p0 = jnp.asarray(pp)
+        mesh2 = make_mesh(8, ("factors", "frames"), shape=(4, 2))
+        res2 = lm_damping_iter_sharded(buckets, R0, p0, mesh2, max_iters=6)
+        res1 = lm_damping_iter(buckets, R0, p0, max_iters=6)
+        err = ate_rmse(np.asarray(res2.p), np.asarray(res1.p))
+        assert err < 1e-6
