@@ -76,6 +76,11 @@ def _aggregate(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray):
 
 def plane_cost(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Sum over voxels of λ_min (evaluate_only_residual, bavoxel.hpp:176-203)."""
+    return plane_cost_soa(fa, R, p)
+
+
+def plane_cost_aos(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Array-of-structs formulation (reference/oracle path for tests)."""
     mask, N, _, _, cov, _, _, _ = _aggregate(fa, R, p)
     lams, _ = eigh3x3(cov)
     voxel_valid = N > 0
@@ -230,7 +235,7 @@ def plane_cost_grad_hess(
 
     def body(carry, fa_c):
         resid_a, g_a, Hd_a, H_a = carry
-        resid, g, Hd, M = _chunk_eval(fa_c, R, p, W)
+        resid, g, Hd, M = _chunk_eval_soa(fa_c, R, p, W)
         H_a = H_a - jnp.dot(M.T, M, preferred_element_type=M.dtype)
         return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
 
@@ -248,3 +253,335 @@ def plane_cost_grad_hess(
     H = Hq.reshape(W, 6, W, 6)
     H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
     return resid, g, H
+
+
+# ---------------------------------------------------------------------------
+# Structure-of-arrays fast path
+# ---------------------------------------------------------------------------
+# TPU vector tiles are (8, 128); the AoS formulation above keeps 3-vectors /
+# 3x3 matrices in trailing dims where the 3s pad to 128 lanes and waste ~40x
+# of the VPU.  The SoA path below carries every vector/matrix COMPONENT as
+# its own (V, K) plane, so all per-entry algebra is perfectly-tiled
+# elementwise math (the hat/matrix products are expanded by components).
+# Same math, same outputs — validated against the AoS path and the numpy
+# oracle in tests.
+
+
+def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
+    """SoA evaluation. Returns (resid, jjt6 (V,K,6), D36 (V,K,36),
+    rows18 (V,K,18)) with rows = [B1·A; B2·A; √2/N·[w; n·u]]."""
+    V, K = fa.n.shape
+    dt = fa.n.dtype
+    mask = (fa.n > 0).astype(dt)
+    n = fa.n * mask
+    m1, m2, m3 = fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2]
+    P11 = fa.Pc[..., 0, 0]; P12 = fa.Pc[..., 0, 1]; P13 = fa.Pc[..., 0, 2]
+    P22 = fa.Pc[..., 1, 1]; P23 = fa.Pc[..., 1, 2]; P33 = fa.Pc[..., 2, 2]
+    Rg = R[fa.frame]            # (V, K, 3, 3) — single gather
+    pg = p[fa.frame]            # (V, K, 3)
+    R11 = Rg[..., 0, 0]; R12 = Rg[..., 0, 1]; R13 = Rg[..., 0, 2]
+    R21 = Rg[..., 1, 0]; R22 = Rg[..., 1, 1]; R23 = Rg[..., 1, 2]
+    R31 = Rg[..., 2, 0]; R32 = Rg[..., 2, 1]; R33 = Rg[..., 2, 2]
+    p1, p2, p3 = pg[..., 0], pg[..., 1], pg[..., 2]
+
+    # R·mu and world mean m = R mu + p
+    Rm1 = R11 * m1 + R12 * m2 + R13 * m3
+    Rm2 = R21 * m1 + R22 * m2 + R23 * m3
+    Rm3 = R31 * m1 + R32 * m2 + R33 * m3
+    wm1 = Rm1 + p1
+    wm2 = Rm2 + p2
+    wm3 = Rm3 + p3
+
+    # ---- aggregate: N, vbar, world scatter S (6 comps) ----
+    N = jnp.sum(n, axis=-1)
+    N_safe = jnp.where(N > 0, N, 1.0)
+    invN = 1.0 / N_safe
+    vb1 = jnp.sum(n * wm1, axis=-1) * invN
+    vb2 = jnp.sum(n * wm2, axis=-1) * invN
+    vb3 = jnp.sum(n * wm3, axis=-1) * invN
+    # R Pc Rᵀ components: RP = R·Pc (rows), then (RP)·Rᵀ
+    RP11 = R11 * P11 + R12 * P12 + R13 * P13
+    RP12 = R11 * P12 + R12 * P22 + R13 * P23
+    RP13 = R11 * P13 + R12 * P23 + R13 * P33
+    RP21 = R21 * P11 + R22 * P12 + R23 * P13
+    RP22 = R21 * P12 + R22 * P22 + R23 * P23
+    RP23 = R21 * P13 + R22 * P23 + R23 * P33
+    RP31 = R31 * P11 + R32 * P12 + R33 * P13
+    RP32 = R31 * P12 + R32 * P22 + R33 * P23
+    RP33 = R31 * P13 + R32 * P23 + R33 * P33
+    S11e = RP11 * R11 + RP12 * R12 + RP13 * R13
+    S12e = RP11 * R21 + RP12 * R22 + RP13 * R23
+    S13e = RP11 * R31 + RP12 * R32 + RP13 * R33
+    S22e = RP21 * R21 + RP22 * R22 + RP23 * R23
+    S23e = RP21 * R31 + RP22 * R32 + RP23 * R33
+    S33e = RP31 * R31 + RP32 * R32 + RP33 * R33
+    d1 = wm1 - vb1[:, None]
+    d2 = wm2 - vb2[:, None]
+    d3 = wm3 - vb3[:, None]
+    S11 = jnp.sum(mask * S11e + n * d1 * d1, axis=-1)
+    S12 = jnp.sum(mask * S12e + n * d1 * d2, axis=-1)
+    S13 = jnp.sum(mask * S13e + n * d1 * d3, axis=-1)
+    S22 = jnp.sum(mask * S22e + n * d2 * d2, axis=-1)
+    S23 = jnp.sum(mask * S23e + n * d2 * d3, axis=-1)
+    S33 = jnp.sum(mask * S33e + n * d3 * d3, axis=-1)
+    cov = jnp.stack(
+        [
+            jnp.stack([S11, S12, S13], -1),
+            jnp.stack([S12, S22, S23], -1),
+            jnp.stack([S13, S23, S33], -1),
+        ],
+        -2,
+    ) * invN[:, None, None]
+    lams, U = eigh3x3(cov)
+    lam0 = lams[..., 0]
+    resid = jnp.sum(jnp.where(N > 0, lam0, 0.0))
+    u1, u2, u3 = U[..., 0, 0], U[..., 1, 0], U[..., 2, 0]
+    # B rows: sqrt(2/(λi-λ0)) u_iᵀ for i = 1, 2
+    scale = jnp.maximum(jnp.abs(lams[..., 2]), 1e-20)
+    s1 = jnp.sqrt(2.0 / jnp.maximum(lams[..., 1] - lam0, 1e-9 * scale))
+    s2 = jnp.sqrt(2.0 / jnp.maximum(lams[..., 2] - lam0, 1e-9 * scale))
+    B11 = s1 * U[..., 0, 1]; B12 = s1 * U[..., 1, 1]; B13 = s1 * U[..., 2, 1]
+    B21 = s2 * U[..., 0, 2]; B22 = s2 * U[..., 1, 2]; B23 = s2 * U[..., 2, 2]
+
+    # broadcast per-voxel scalars over K
+    bc = lambda x: x[:, None]
+    u1b, u2b, u3b = bc(u1), bc(u2), bc(u3)
+    invNb = bc(invN)
+
+    # ---- per-entry chain, all (V, K) elementwise ----
+    r1 = R11 * u1b + R21 * u2b + R31 * u3b      # Rᵀu
+    r2 = R12 * u1b + R22 * u2b + R32 * u3b
+    r3 = R13 * u1b + R23 * u2b + R33 * u3b
+    vi1, vi2, vi3 = n * m1, n * m2, n * m3
+    w1 = vi2 * r3 - vi3 * r2
+    w2 = vi3 * r1 - vi1 * r3
+    w3 = vi1 * r2 - vi2 * r1
+    t1 = p1 - bc(vb1)
+    t2 = p2 - bc(vb2)
+    t3 = p3 - bc(vb3)
+    adot = u1b * t1 + u2b * t2 + u3b * t3
+    md = m1 * r1 + m2 * r2 + m3 * r3
+    Pr1 = P11 * r1 + P12 * r2 + P13 * r3
+    Pr2 = P12 * r1 + P22 * r2 + P23 * r3
+    Pr3 = P13 * r1 + P23 * r2 + P33 * r3
+    # c1v = PiRiTuk + a·vi = Pc r + n m md + a vi
+    c11 = Pr1 + n * m1 * md + adot * vi1
+    c12 = Pr2 + n * m2 * md + adot * vi2
+    c13 = Pr3 + n * m3 * md + adot * vi3
+    cb1 = n * Rm1 + n * t1    # combo2
+    cb2 = n * Rm2 + n * t2
+    cb3 = n * Rm3 + n * t3
+
+    # T1 = R Pc + n (Rm) mᵀ + t viᵀ  (9 comps)
+    T11 = RP11 + n * Rm1 * m1 + t1 * vi1
+    T12 = RP12 + n * Rm1 * m2 + t1 * vi2
+    T13 = RP13 + n * Rm1 * m3 + t1 * vi3
+    T21 = RP21 + n * Rm2 * m1 + t2 * vi1
+    T22 = RP22 + n * Rm2 * m2 + t2 * vi2
+    T23 = RP23 + n * Rm2 * m3 + t2 * vi3
+    T31 = RP31 + n * Rm3 * m1 + t3 * vi1
+    T32 = RP32 + n * Rm3 * m2 + t3 * vi2
+    T33 = RP33 + n * Rm3 * m3 + t3 * vi3
+    # H1 = T1·hat(r):  col1 = T_col2 r3 − T_col3 r2, etc.
+    H1_11 = T12 * r3 - T13 * r2
+    H1_12 = T13 * r1 - T11 * r3
+    H1_13 = T11 * r2 - T12 * r1
+    H1_21 = T22 * r3 - T23 * r2
+    H1_22 = T23 * r1 - T21 * r3
+    H1_23 = T21 * r2 - T22 * r1
+    H1_31 = T32 * r3 - T33 * r2
+    H1_32 = T33 * r1 - T31 * r3
+    H1_33 = T31 * r2 - T32 * r1
+    # Rhc = R·hat(c1v): col1 = R_col2 c3 − R_col3 c2, etc.
+    Rh_11 = R12 * c13 - R13 * c12
+    Rh_12 = R13 * c11 - R11 * c13
+    Rh_13 = R11 * c12 - R12 * c11
+    Rh_21 = R22 * c13 - R23 * c12
+    Rh_22 = R23 * c11 - R21 * c13
+    Rh_23 = R21 * c12 - R22 * c11
+    Rh_31 = R32 * c13 - R33 * c12
+    Rh_32 = R33 * c11 - R31 * c13
+    Rh_33 = R31 * c12 - R32 * c11
+    # Auk rotation block (/N, masked)
+    sN = invNb * mask
+    A11 = (H1_11 - Rh_11) * sN
+    A12 = (H1_12 - Rh_12) * sN
+    A13 = (H1_13 - Rh_13) * sN
+    A21 = (H1_21 - Rh_21) * sN
+    A22 = (H1_22 - Rh_22) * sN
+    A23 = (H1_23 - Rh_23) * sN
+    A31 = (H1_31 - Rh_31) * sN
+    A32 = (H1_32 - Rh_32) * sN
+    A33 = (H1_33 - Rh_33) * sN
+    # translation block: combo2 uᵀ + (combo2·u) I, /N, masked
+    c2u = cb1 * u1b + cb2 * u2b + cb3 * u3b
+    A14 = (cb1 * u1b + c2u) * sN
+    A15 = (cb1 * u2b) * sN
+    A16 = (cb1 * u3b) * sN
+    A24 = (cb2 * u1b) * sN
+    A25 = (cb2 * u2b + c2u) * sN
+    A26 = (cb2 * u3b) * sN
+    A34 = (cb3 * u1b) * sN
+    A35 = (cb3 * u2b) * sN
+    A36 = (cb3 * u3b + c2u) * sN
+
+    # jjt = Aᵀ u (6 comps)
+    j1 = A11 * u1b + A21 * u2b + A31 * u3b
+    j2 = A12 * u1b + A22 * u2b + A32 * u3b
+    j3 = A13 * u1b + A23 * u2b + A33 * u3b
+    j4 = A14 * u1b + A24 * u2b + A34 * u3b
+    j5 = A15 * u1b + A25 * u2b + A35 * u3b
+    j6 = A16 * u1b + A26 * u2b + A36 * u3b
+
+    # ---- diagonal extras D (36 comps) ----
+    # F = hat(c1v) − hat(r)·Pi ; Pi = Pc + n m mᵀ
+    Pi11 = P11 + n * m1 * m1
+    Pi12 = P12 + n * m1 * m2
+    Pi13 = P13 + n * m1 * m3
+    Pi22 = P22 + n * m2 * m2
+    Pi23 = P23 + n * m2 * m3
+    Pi33 = P33 + n * m3 * m3
+    # hat(r)·Pi rows: row1 = −r3·P_row2 + r2·P_row3; row2 = r3·P_row1 − r1·P_row3;
+    # row3 = −r2·P_row1 + r1·P_row2   (P symmetric)
+    hp11 = -r3 * Pi12 + r2 * Pi13
+    hp12 = -r3 * Pi22 + r2 * Pi23
+    hp13 = -r3 * Pi23 + r2 * Pi33
+    hp21 = r3 * Pi11 - r1 * Pi13
+    hp22 = r3 * Pi12 - r1 * Pi23
+    hp23 = r3 * Pi13 - r1 * Pi33
+    hp31 = -r2 * Pi11 + r1 * Pi12
+    hp32 = -r2 * Pi12 + r1 * Pi22
+    hp33 = -r2 * Pi13 + r1 * Pi23
+    F11 = -hp11
+    F12 = -c13 - hp12
+    F13 = c12 - hp13
+    F21 = c13 - hp21
+    F22 = -hp22
+    F23 = -c11 - hp23
+    F31 = -c12 - hp31
+    F32 = c11 - hp32
+    F33 = -hp33
+    # D_rr = 2/N F·hat(r) − 0.5 hat(jjt_rot)
+    two_sN = 2.0 * invNb * mask
+    Dr11 = two_sN * (F12 * r3 - F13 * r2)
+    Dr12 = two_sN * (F13 * r1 - F11 * r3) + 0.5 * j3
+    Dr13 = two_sN * (F11 * r2 - F12 * r1) - 0.5 * j2
+    Dr21 = two_sN * (F22 * r3 - F23 * r2) - 0.5 * j3
+    Dr22 = two_sN * (F23 * r1 - F21 * r3)
+    Dr23 = two_sN * (F21 * r2 - F22 * r1) + 0.5 * j1
+    Dr31 = two_sN * (F32 * r3 - F33 * r2) + 0.5 * j2
+    Dr32 = two_sN * (F33 * r1 - F31 * r3) - 0.5 * j1
+    Dr33 = two_sN * (F31 * r2 - F32 * r1)
+    # D_rt = 2/N w uᵀ ; D_tt = 2n/N u uᵀ
+    Drt11 = two_sN * w1 * u1b; Drt12 = two_sN * w1 * u2b; Drt13 = two_sN * w1 * u3b
+    Drt21 = two_sN * w2 * u1b; Drt22 = two_sN * w2 * u2b; Drt23 = two_sN * w2 * u3b
+    Drt31 = two_sN * w3 * u1b; Drt32 = two_sN * w3 * u2b; Drt33 = two_sN * w3 * u3b
+    tn = two_sN * n
+    Dt11 = tn * u1b * u1b; Dt12 = tn * u1b * u2b; Dt13 = tn * u1b * u3b
+    Dt22 = tn * u2b * u2b; Dt23 = tn * u2b * u3b; Dt33 = tn * u3b * u3b
+
+    D36 = jnp.stack(
+        [
+            Dr11, Dr12, Dr13, Drt11, Drt12, Drt13,
+            Dr21, Dr22, Dr23, Drt21, Drt22, Drt23,
+            Dr31, Dr32, Dr33, Drt31, Drt32, Drt33,
+            Drt11, Drt21, Drt31, Dt11, Dt12, Dt13,
+            Drt12, Drt22, Drt32, Dt12, Dt22, Dt23,
+            Drt13, Drt23, Drt33, Dt13, Dt23, Dt33,
+        ],
+        axis=-1,
+    )
+
+    # ---- factor rows: BA (2x6) + √2/N [w; n u] ----
+    B11b, B12b, B13b = bc(B11), bc(B12), bc(B13)
+    B21b, B22b, B23b = bc(B21), bc(B22), bc(B23)
+    BA11 = B11b * A11 + B12b * A21 + B13b * A31
+    BA12 = B11b * A12 + B12b * A22 + B13b * A32
+    BA13 = B11b * A13 + B12b * A23 + B13b * A33
+    BA14 = B11b * A14 + B12b * A24 + B13b * A34
+    BA15 = B11b * A15 + B12b * A25 + B13b * A35
+    BA16 = B11b * A16 + B12b * A26 + B13b * A36
+    BA21 = B21b * A11 + B22b * A21 + B23b * A31
+    BA22 = B21b * A12 + B22b * A22 + B23b * A32
+    BA23 = B21b * A13 + B22b * A23 + B23b * A33
+    BA24 = B21b * A14 + B22b * A24 + B23b * A34
+    BA25 = B21b * A15 + B22b * A25 + B23b * A35
+    BA26 = B21b * A16 + B22b * A26 + B23b * A36
+    sq = jnp.sqrt(jnp.asarray(2.0, dt)) * invNb * mask
+    rows18 = jnp.stack(
+        [
+            BA11, BA12, BA13, BA14, BA15, BA16,
+            BA21, BA22, BA23, BA24, BA25, BA26,
+            sq * w1, sq * w2, sq * w3, sq * n * u1b, sq * n * u2b, sq * n * u3b,
+        ],
+        axis=-1,
+    )
+    jjt6 = jnp.stack([j1, j2, j3, j4, j5, j6], axis=-1)
+    return resid, jjt6, D36, rows18
+
+
+def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int):
+    """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (3V, 6W))."""
+    V, K = fa_c.n.shape
+    resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
+    onehot = (fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)).astype(
+        fa_c.n.dtype
+    )
+    g = jnp.einsum("vkw,vkb->wb", onehot, jjt6)
+    Hd = jnp.einsum("vkw,vkc->wc", onehot, D36).reshape(W, 6, 6)
+    M = jnp.einsum("vkw,vkc->vwc", onehot, rows18)      # (V, W, 18)
+    M = M.reshape(V, W, 3, 6).transpose(0, 2, 1, 3).reshape(V * 3, W * 6)
+    return resid, g, Hd, M
+
+
+def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Residual-only evaluation in SoA layout (trial steps of the LM)."""
+    V, K = fa.n.shape
+    dt = fa.n.dtype
+    mask = (fa.n > 0).astype(dt)
+    n = fa.n * mask
+    m1, m2, m3 = fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2]
+    P11 = fa.Pc[..., 0, 0]; P12 = fa.Pc[..., 0, 1]; P13 = fa.Pc[..., 0, 2]
+    P22 = fa.Pc[..., 1, 1]; P23 = fa.Pc[..., 1, 2]; P33 = fa.Pc[..., 2, 2]
+    Rg = R[fa.frame]
+    pg = p[fa.frame]
+    R11 = Rg[..., 0, 0]; R12 = Rg[..., 0, 1]; R13 = Rg[..., 0, 2]
+    R21 = Rg[..., 1, 0]; R22 = Rg[..., 1, 1]; R23 = Rg[..., 1, 2]
+    R31 = Rg[..., 2, 0]; R32 = Rg[..., 2, 1]; R33 = Rg[..., 2, 2]
+    wm1 = R11 * m1 + R12 * m2 + R13 * m3 + pg[..., 0]
+    wm2 = R21 * m1 + R22 * m2 + R23 * m3 + pg[..., 1]
+    wm3 = R31 * m1 + R32 * m2 + R33 * m3 + pg[..., 2]
+    N = jnp.sum(n, axis=-1)
+    N_safe = jnp.where(N > 0, N, 1.0)
+    invN = 1.0 / N_safe
+    vb1 = jnp.sum(n * wm1, axis=-1) * invN
+    vb2 = jnp.sum(n * wm2, axis=-1) * invN
+    vb3 = jnp.sum(n * wm3, axis=-1) * invN
+    RP11 = R11 * P11 + R12 * P12 + R13 * P13
+    RP12 = R11 * P12 + R12 * P22 + R13 * P23
+    RP13 = R11 * P13 + R12 * P23 + R13 * P33
+    RP21 = R21 * P11 + R22 * P12 + R23 * P13
+    RP22 = R21 * P12 + R22 * P22 + R23 * P23
+    RP23 = R21 * P13 + R22 * P23 + R23 * P33
+    RP31 = R31 * P11 + R32 * P12 + R33 * P13
+    RP32 = R31 * P12 + R32 * P22 + R33 * P23
+    RP33 = R31 * P13 + R32 * P23 + R33 * P33
+    d1 = wm1 - vb1[:, None]
+    d2 = wm2 - vb2[:, None]
+    d3 = wm3 - vb3[:, None]
+    S11 = jnp.sum(mask * (RP11 * R11 + RP12 * R12 + RP13 * R13) + n * d1 * d1, axis=-1)
+    S12 = jnp.sum(mask * (RP11 * R21 + RP12 * R22 + RP13 * R23) + n * d1 * d2, axis=-1)
+    S13 = jnp.sum(mask * (RP11 * R31 + RP12 * R32 + RP13 * R33) + n * d1 * d3, axis=-1)
+    S22 = jnp.sum(mask * (RP21 * R21 + RP22 * R22 + RP23 * R23) + n * d2 * d2, axis=-1)
+    S23 = jnp.sum(mask * (RP21 * R31 + RP22 * R32 + RP23 * R33) + n * d2 * d3, axis=-1)
+    S33 = jnp.sum(mask * (RP31 * R31 + RP32 * R32 + RP33 * R33) + n * d3 * d3, axis=-1)
+    cov = jnp.stack(
+        [
+            jnp.stack([S11, S12, S13], -1),
+            jnp.stack([S12, S22, S23], -1),
+            jnp.stack([S13, S23, S33], -1),
+        ],
+        -2,
+    ) * invN[:, None, None]
+    lams, _ = eigh3x3(cov)
+    return jnp.sum(jnp.where(N > 0, lams[..., 0], 0.0))

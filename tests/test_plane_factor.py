@@ -177,3 +177,30 @@ class TestNumpyOracle:
             np.asarray(H_j).reshape(W * 6, W * 6), H_np,
             rtol=1e-6, atol=1e-8 * np.abs(H_np).max(),
         )
+
+
+class TestSoAvsAoS:
+    def test_soa_matches_aos(self):
+        from global_lvba_tpu.factors.plane_eigen import (
+            _chunk_eval, _chunk_eval_soa, plane_cost_aos, plane_cost_soa,
+        )
+
+        scene, vm, buckets = setup_problem(num_frames=6, ppf=2000, seed=9)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02, seed=4)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        W = 6
+        for fa in buckets:
+            r_a, g_a, Hd_a, M_a = _chunk_eval(fa, R, p, W)
+            r_s, g_s, Hd_s, M_s = _chunk_eval_soa(fa, R, p, W)
+            np.testing.assert_allclose(float(r_s), float(r_a), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_a), atol=1e-11)
+            np.testing.assert_allclose(np.asarray(Hd_s), np.asarray(Hd_a), atol=1e-10)
+            # factor rows may differ by per-voxel ordering/sign conventions of
+            # B's eigenvector rows — compare the Gram products
+            Ha = np.asarray(M_a).T @ np.asarray(M_a)
+            Hs = np.asarray(M_s).T @ np.asarray(M_s)
+            np.testing.assert_allclose(Hs, Ha, atol=1e-9 * max(1.0, np.abs(Ha).max()))
+            c_a = float(plane_cost_aos(fa, R, p))
+            c_s = float(plane_cost_soa(fa, R, p))
+            np.testing.assert_allclose(c_s, c_a, rtol=1e-12)
