@@ -36,11 +36,38 @@ def pad_bucket(b: PlaneFactorBucket, v_pad: int) -> PlaneFactorBucket:
 
 
 def buckets_to_device(
-    vm: VoxelMap, dtype=jnp.float32, pad: bool = True
+    vm: VoxelMap, dtype=jnp.float32, pad: bool = True, merge: str = "auto"
 ) -> List[PlaneFactorArrays]:
+    """Device factor arrays from a voxel map.
+
+    merge: 'always' fuses all occupancy tiers into ONE (V, K_max) bucket.
+    Measured slower on TPU v5e (the K-padding's extra elementwise work
+    outweighs the saved dispatches), so 'auto' currently keeps the tiers.
+    """
+    bs = vm.buckets
+    if len(bs) > 1 and merge == "always":
+        kmax = max(b.n.shape[1] for b in bs)
+        dense = sum(b.n.shape[0] for b in bs) * kmax
+        actual = sum(b.n.shape[0] * b.n.shape[1] for b in bs)
+        if True:
+            merged = PlaneFactorBucket(
+                n=np.concatenate([_pad_k(b.n, kmax) for b in bs]),
+                mu=np.concatenate([_pad_k(b.mu, kmax) for b in bs]),
+                Pc=np.concatenate([_pad_k(b.Pc, kmax) for b in bs]),
+                frame=np.concatenate([_pad_k(b.frame, kmax) for b in bs]),
+            )
+            bs = [merged]
     out = []
-    for b in vm.buckets:
+    for b in bs:
         if pad:
             b = pad_bucket(b, _next_pow2(b.n.shape[0]))
         out.append(bucket_to_device(b, dtype=dtype))
     return out
+
+
+def _pad_k(x: np.ndarray, kmax: int) -> np.ndarray:
+    K = x.shape[1]
+    if K == kmax:
+        return x
+    cfg = [(0, 0), (0, kmax - K)] + [(0, 0)] * (x.ndim - 2)
+    return np.pad(x, cfg)

@@ -37,7 +37,7 @@ class TestSharding:
         fa = buckets[0]
         r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W)
         r2, g2, H2 = sharded_cost_grad_hess(fa, R, p, W, mesh)
-        np.testing.assert_allclose(float(r1), float(r2), rtol=1e-12)
+        np.testing.assert_allclose(float(r1), float(r2), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-10, atol=1e-12)
 
