@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..map.voxelize import PlaneFactorBucket
-from ..ops.eigh3 import eigh3x3
+from ..ops.eigh3 import eigh3x3, eigh3_soa, eigvals3_soa
 from ..geometry.so3 import hat
 
 
@@ -222,7 +222,9 @@ def plane_cost_grad_hess(
     `chunk_bytes`."""
     V, K = fa.n.shape
     W = num_frames
-    per_vox_bytes = W * 18 * 4 * 2
+    # per-voxel live bytes: the (W, 18) factor-row block, its transpose
+    # copy, and the (K, W) one-hot matrix
+    per_vox_bytes = (W * 18 * 2 + K * W) * 4
     chunk = max(1, min(V, chunk_bytes // max(per_vox_bytes, 1)))
     n_chunks = -(-V // chunk)
     Vpad = n_chunks * chunk
@@ -236,7 +238,10 @@ def plane_cost_grad_hess(
     def body(carry, fa_c):
         resid_a, g_a, Hd_a, H_a = carry
         resid, g, Hd, M = _chunk_eval_soa(fa_c, R, p, W)
-        H_a = H_a - jnp.dot(M.T, M, preferred_element_type=M.dtype)
+        H_a = H_a - jnp.dot(
+            M.T, M, preferred_element_type=M.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
 
     # derive the zero carry from the (possibly shard_map-varying) factor
@@ -324,24 +329,17 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     S22 = jnp.sum(mask * S22e + n * d2 * d2, axis=-1)
     S23 = jnp.sum(mask * S23e + n * d2 * d3, axis=-1)
     S33 = jnp.sum(mask * S33e + n * d3 * d3, axis=-1)
-    cov = jnp.stack(
-        [
-            jnp.stack([S11, S12, S13], -1),
-            jnp.stack([S12, S22, S23], -1),
-            jnp.stack([S13, S23, S33], -1),
-        ],
-        -2,
-    ) * invN[:, None, None]
-    lams, U = eigh3x3(cov)
-    lam0 = lams[..., 0]
+    lam0, lam1, lam2, ev0, ev1, ev2 = eigh3_soa(
+        S11 * invN, S12 * invN, S13 * invN, S22 * invN, S23 * invN, S33 * invN
+    )
     resid = jnp.sum(jnp.where(N > 0, lam0, 0.0))
-    u1, u2, u3 = U[..., 0, 0], U[..., 1, 0], U[..., 2, 0]
+    u1, u2, u3 = ev0
     # B rows: sqrt(2/(λi-λ0)) u_iᵀ for i = 1, 2
-    scale = jnp.maximum(jnp.abs(lams[..., 2]), 1e-20)
-    s1 = jnp.sqrt(2.0 / jnp.maximum(lams[..., 1] - lam0, 1e-9 * scale))
-    s2 = jnp.sqrt(2.0 / jnp.maximum(lams[..., 2] - lam0, 1e-9 * scale))
-    B11 = s1 * U[..., 0, 1]; B12 = s1 * U[..., 1, 1]; B13 = s1 * U[..., 2, 1]
-    B21 = s2 * U[..., 0, 2]; B22 = s2 * U[..., 1, 2]; B23 = s2 * U[..., 2, 2]
+    scale = jnp.maximum(jnp.abs(lam2), 1e-20)
+    s1 = jnp.sqrt(2.0 / jnp.maximum(lam1 - lam0, 1e-9 * scale))
+    s2 = jnp.sqrt(2.0 / jnp.maximum(lam2 - lam0, 1e-9 * scale))
+    B11 = s1 * ev1[0]; B12 = s1 * ev1[1]; B13 = s1 * ev1[2]
+    B21 = s2 * ev2[0]; B22 = s2 * ev2[1]; B23 = s2 * ev2[2]
 
     # broadcast per-voxel scalars over K
     bc = lambda x: x[:, None]
@@ -521,15 +519,35 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
 
 
 def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int):
-    """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (3V, 6W))."""
+    """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (3V, 6W)).
+
+    All frame-indexed reductions are explicit dot_generals so they lower to
+    the MXU (einsum's broadcast-reduce form lowered to the VPU and was
+    ~100x slower at W = 200)."""
     V, K = fa_c.n.shape
     resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
     onehot = (fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)).astype(
         fa_c.n.dtype
     )
-    g = jnp.einsum("vkw,vkb->wb", onehot, jjt6)
-    Hd = jnp.einsum("vkw,vkc->wc", onehot, D36).reshape(W, 6, 6)
-    M = jnp.einsum("vkw,vkc->vwc", onehot, rows18)      # (V, W, 18)
+    # HIGHEST precision: TPU matmuls default to bf16 passes, which is far
+    # too coarse for Hessian assembly (measured: ATE diverges at W = 200)
+    hi = jax.lax.Precision.HIGHEST
+    oh_flat = onehot.reshape(V * K, W)
+    g = jax.lax.dot_general(
+        oh_flat, jjt6.reshape(V * K, 6),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=fa_c.n.dtype, precision=hi,
+    )                                                   # (W, 6)
+    Hd = jax.lax.dot_general(
+        oh_flat, D36.reshape(V * K, 36),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=fa_c.n.dtype, precision=hi,
+    ).reshape(W, 6, 6)
+    M = jax.lax.dot_general(
+        onehot, rows18,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=fa_c.n.dtype, precision=hi,
+    )                                                   # (V, W, 18)
     M = M.reshape(V, W, 3, 6).transpose(0, 2, 1, 3).reshape(V * 3, W * 6)
     return resid, g, Hd, M
 
@@ -575,13 +593,7 @@ def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp
     S22 = jnp.sum(mask * (RP21 * R21 + RP22 * R22 + RP23 * R23) + n * d2 * d2, axis=-1)
     S23 = jnp.sum(mask * (RP21 * R31 + RP22 * R32 + RP23 * R33) + n * d2 * d3, axis=-1)
     S33 = jnp.sum(mask * (RP31 * R31 + RP32 * R32 + RP33 * R33) + n * d3 * d3, axis=-1)
-    cov = jnp.stack(
-        [
-            jnp.stack([S11, S12, S13], -1),
-            jnp.stack([S12, S22, S23], -1),
-            jnp.stack([S13, S23, S33], -1),
-        ],
-        -2,
-    ) * invN[:, None, None]
-    lams, _ = eigh3x3(cov)
-    return jnp.sum(jnp.where(N > 0, lams[..., 0], 0.0))
+    lam0, _, _ = eigvals3_soa(
+        S11 * invN, S12 * invN, S13 * invN, S22 * invN, S23 * invN, S33 * invN
+    )
+    return jnp.sum(jnp.where(N > 0, lam0, 0.0))

@@ -47,7 +47,11 @@ def boxplus_pose(R, p, dx):
 
     R <- R @ Exp(dx[0:3]);  p <- p + dx[3:6]
     — the same update as BALM2::damping_iter (/root/reference/include/BALM/
-    bavoxel.hpp:723-727).
+    bavoxel.hpp:723-727).  The composition runs at HIGHEST precision: the
+    TPU bf16 matmul default would inject ~1e-3 rad of error per update.
     """
+    import jax
+
     dR = exp_so3(dx[..., 0:3])
-    return R @ dR, p + dx[..., 3:6]
+    R2 = jnp.matmul(R, dR, precision=jax.lax.Precision.HIGHEST)
+    return R2, p + dx[..., 3:6]

@@ -9,6 +9,7 @@ All functions accept arbitrary leading batch dimensions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-10
@@ -45,7 +46,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
         small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0, (1.0 - jnp.cos(theta)) / t2_safe
     )
     K = hat(w)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 

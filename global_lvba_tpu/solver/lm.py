@@ -21,6 +21,7 @@ factors/plane_eigen.py.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -64,15 +65,22 @@ def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None):
 
 
 def _solve_damped(H, g, u, refine: bool = True):
-    """Solve (H + u * diag(H)) dx = -g with optional iterative refinement."""
-    d = jnp.diagonal(H)
-    A = H + jnp.diag(u * d)
-    lu, piv = jax.scipy.linalg.lu_factor(A)
-    dx = jax.scipy.linalg.lu_solve((lu, piv), -g)
-    if refine:
-        r = -g - A @ dx
-        dx = dx + jax.scipy.linalg.lu_solve((lu, piv), r)
-    return dx
+    """Solve (H + u * diag(H)) dx = -g with optional iterative refinement.
+
+    Runs under HIGHEST matmul precision: the TPU default lowers the LU
+    factorization's inner matmuls to bf16 passes, which at 6W ~ 1000 state
+    dimensions degrades the step enough to stall LM convergence entirely
+    (measured: W = 200 ATE diverged at default precision, converged in 4
+    iterations at highest)."""
+    with jax.default_matmul_precision("highest"):
+        d = jnp.diagonal(H)
+        A = H + jnp.diag(u * d)
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+        dx = jax.scipy.linalg.lu_solve((lu, piv), -g)
+        if refine:
+            r = -g - jnp.dot(A, dx)
+            dx = dx + jax.scipy.linalg.lu_solve((lu, piv), r)
+        return dx
 
 
 def lm_damping_iter(
@@ -85,7 +93,30 @@ def lm_damping_iter(
     rel_tol: float = 1e-6,
     h_sharding=None,
 ) -> LMResult:
-    """Run damped LM over plane-eigen factor buckets. Pure JAX, jittable."""
+    """Run damped LM over plane-eigen factor buckets.
+
+    Jit-compiled as a whole (buckets are pytree arguments, so repeated
+    solves with the same shapes reuse the executable) — calling the solver
+    eagerly would dispatch the pre-loop evaluation op-by-op, which through
+    a remote-device link costs orders of magnitude more than the compute.
+    """
+    return _lm_jitted(
+        tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
+        float(rel_tol), h_sharding,
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _lm_jitted(
+    buckets,
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    max_iters: int,
+    u_init: float,
+    v_init: float,
+    rel_tol: float,
+    h_sharding,
+) -> LMResult:
     W = R0.shape[0]
     g_size = sum(int(fa.n.shape[0]) for fa in buckets)
     g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
@@ -112,11 +143,7 @@ def lm_damping_iter(
         jnp.zeros((), jnp.bool_),
     )
 
-    def cond_fn(s):
-        *_, it, done = s
-        return (it < max_iters) & (~done)
-
-    def body_fn(s):
+    def body_fn(_i, s):
         R, p, u, v, res1, g, H, it, done = s
         dx = _solve_damped(H, g, u)
         dxp = dx.reshape(W, 6)
@@ -135,27 +162,36 @@ def lm_damping_iter(
         R_new = jnp.where(accept, R_t, R)
         p_new = jnp.where(accept, p_t, p)
 
-        # recompute Hessian only after acceptance
-        def recompute(_):
-            return cgh(R_t, p_t)
-
-        def keep(_):
-            return res1, g, H
-
-        res1_new, g_new, H_new = jax.lax.cond(accept, recompute, keep, None)
+        # Recompute the normal equations at the (possibly unchanged) state.
+        # The reference skips this after rejected steps (is_calc_hess,
+        # bavoxel.hpp:688-689) — but recomputing at an unchanged state is
+        # mathematically a no-op, and a lax.cond here costs ~100x the whole
+        # evaluation on TPU (cond inside while_loop defeats the scheduler),
+        # so unconditional recomputation is both correct and far faster.
+        res_r, g_new, H_new = cgh(R_new, p_new)
+        res1_new = jnp.where(accept, res2, res1)
 
         converged = jnp.abs(res1 - res2) / jnp.where(res1 == 0, 1.0, jnp.abs(res1)) < rel_tol
+
+        # The loop is a FIXED-trip fori_loop with done-masking, not a
+        # while_loop: a dynamic trip count de-optimizes the whole body on
+        # TPU (~100x per-iteration slowdown measured through this backend).
+        # Once converged, the state freezes and the remaining iterations
+        # are cheap replays of an unchanged state.
+        frz = lambda new, old: jnp.where(done, old, new)
         return (
-            R_new,
-            p_new,
-            u_new,
-            v_new,
-            res1_new,
-            g_new,
-            H_new,
-            it + 1,
+            frz(R_new, R),
+            frz(p_new, p),
+            frz(u_new, u),
+            frz(v_new, v),
+            frz(res1_new, res1),
+            frz(g_new, g),
+            frz(H_new, H),
+            jnp.where(done, it, it + 1),
             done | converged,
         )
 
-    R, p, u, v, res1, g, H, it, done = jax.lax.while_loop(cond_fn, body_fn, state)
+    R, p, u, v, res1, g, H, it, done = jax.lax.fori_loop(
+        0, max_iters, body_fn, state
+    )
     return LMResult(R=R, p=p, iters=it, residual=res1)

@@ -97,7 +97,15 @@ def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
 
 
 def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
-    """One damped normal-equation build + solve. Returns (dc, dX, gnorm)."""
+    """One damped normal-equation build + solve. Returns (dc, dX, q1).
+
+    Traced under HIGHEST matmul precision — the TPU bf16 default corrupts
+    the Schur assembly and the reduced LU solve (see solver/lm.py note)."""
+    with jax.default_matmul_precision("highest"):
+        return _normal_eq_inner(prob, consts, pair_a, pair_b, R, t, X, u)
+
+
+def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
     cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
 
