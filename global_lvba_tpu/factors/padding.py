@@ -47,16 +47,13 @@ def buckets_to_device(
     bs = vm.buckets
     if len(bs) > 1 and merge == "always":
         kmax = max(b.n.shape[1] for b in bs)
-        dense = sum(b.n.shape[0] for b in bs) * kmax
-        actual = sum(b.n.shape[0] * b.n.shape[1] for b in bs)
-        if True:
-            merged = PlaneFactorBucket(
-                n=np.concatenate([_pad_k(b.n, kmax) for b in bs]),
-                mu=np.concatenate([_pad_k(b.mu, kmax) for b in bs]),
-                Pc=np.concatenate([_pad_k(b.Pc, kmax) for b in bs]),
-                frame=np.concatenate([_pad_k(b.frame, kmax) for b in bs]),
-            )
-            bs = [merged]
+        merged = PlaneFactorBucket(
+            n=np.concatenate([_pad_k(b.n, kmax) for b in bs]),
+            mu=np.concatenate([_pad_k(b.mu, kmax) for b in bs]),
+            Pc=np.concatenate([_pad_k(b.Pc, kmax) for b in bs]),
+            frame=np.concatenate([_pad_k(b.frame, kmax) for b in bs]),
+        )
+        bs = [merged]
     out = []
     for b in bs:
         if pad:

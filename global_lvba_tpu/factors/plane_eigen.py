@@ -8,12 +8,17 @@ same math is one fused batched computation over all voxels at once:
 
   * per-(voxel, frame) body-frame moment stats arrive as dense (V, K)
     arrays (K = max observing frames in the occupancy bucket, zero-padded);
-  * moment transforms are einsums, the eigendecomposition is the closed-form
-    `ops.eigh3x3`, and the W x W block-Hessian is assembled with one
-    segment-sum scatter over (voxel, frame-pair) contributions;
+  * the production path is structure-of-arrays: every vector/matrix
+    component is its own (V, K) plane (perfect TPU tiling), the
+    eigendecomposition is componentwise closed-form (ops.eigh3_soa), and
+    the full cross-pose block Hessian is ONE negative Gram matmul -MᵀM
+    over three factor rows per voxel (the eigen-perturbation rows B·A_k
+    plus a rank-1 correction row √2/N·[w; n·u]);
   * the per-pair algebra is refactored so every (k, l) pair — including the
     diagonal — shares one formula set (the reference's upper-triangle +
-    mirror loop at bavoxel.hpp:151-173 falls out automatically by symmetry).
+    mirror loop at bavoxel.hpp:151-173 falls out automatically by symmetry);
+  * an array-of-structs formulation (_per_voxel_core/_chunk_eval) is kept
+    as a readable oracle, cross-checked in tests.
 
 Cost convention matches the reference exactly: per-voxel cost is λ_min of
 the aggregated world covariance, total residual is the sum over voxels

@@ -1,15 +1,16 @@
 """Levenberg-Marquardt driver for the LiDAR plane-eigen BA.
 
 Replicates BALM2::damping_iter (/root/reference/include/BALM/
-bavoxel.hpp:662-767) as a pure-JAX `lax.while_loop`:
+bavoxel.hpp:662-767) as a fully-jitted fixed-trip loop:
 
   * Nielsen damping: u = 0.01, v = 2; on acceptance
     u *= max(1/3, 1 - (2q-1)^3), v = 2; on rejection u *= v, v *= 2;
-  * at most `max_iters` (reference: 10) outer iterations;
+  * at most `max_iters` (reference: 10) outer iterations, fori_loop with
+    done-masking (dynamic while_loop/cond de-optimize ~100x on TPU);
   * AVG_THR residual convention: residuals and the model decrease q1 are
     averaged over the factor count (bavoxel.hpp:634-635, 730-732);
-  * convergence when |r1 - r2| / r1 < 1e-6 (bavoxel.hpp:759-761);
-  * the Hessian is recomputed only after accepted steps (is_calc_hess);
+  * convergence freezes the state when |r1 - r2| / r1 < 1e-6
+    (bavoxel.hpp:759-761);
   * gauge left free — no pose is fixed, damping regularizes
     (matching the reference's free-gauge convention).
 
@@ -168,7 +169,7 @@ def _lm_jitted(
         # mathematically a no-op, and a lax.cond here costs ~100x the whole
         # evaluation on TPU (cond inside while_loop defeats the scheduler),
         # so unconditional recomputation is both correct and far faster.
-        res_r, g_new, H_new = cgh(R_new, p_new)
+        _, g_new, H_new = cgh(R_new, p_new)
         res1_new = jnp.where(accept, res2, res1)
 
         converged = jnp.abs(res1 - res2) / jnp.where(res1 == 0, 1.0, jnp.abs(res1)) < rel_tol
