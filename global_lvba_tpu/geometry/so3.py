@@ -143,3 +143,15 @@ def jr_inv(w: jnp.ndarray) -> jnp.ndarray:
         + (1.0 - ctt)[..., None, None] * aaT
         + (theta / 2.0)[..., None, None] * hat(axis)
     )
+
+
+def euler_to_rot(roll, pitch, yaw):
+    """Z-Y-X euler angles -> rotation matrix (EulerToRot, utils.hpp:448-458:
+    R = Rz(yaw) Ry(pitch) Rx(roll)), batched."""
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    row0 = jnp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], axis=-1)
+    row1 = jnp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], axis=-1)
+    row2 = jnp.stack([-sp, cp * sr, cp * cr], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)

@@ -33,9 +33,10 @@ def downsample_mean(pts: np.ndarray, voxel_size: float) -> np.ndarray:
     return (sums / counts[:, None]).astype(pts.dtype)
 
 
-def downsample_nearest_center(pts: np.ndarray, voxel_size: float) -> np.ndarray:
+def downsample_nearest_center_idx(pts: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Row indices of the per-voxel point nearest each voxel center."""
     if voxel_size < 0.001 or pts.shape[0] == 0:
-        return pts
+        return np.arange(pts.shape[0])
     coords = np.floor(pts / voxel_size)
     centers = (coords + 0.5) * voxel_size
     d2 = np.sum((pts - centers) ** 2, axis=1)
@@ -43,7 +44,11 @@ def downsample_nearest_center(pts: np.ndarray, voxel_size: float) -> np.ndarray:
     order = np.lexsort((d2, keys))
     sk = keys[order]
     firsts = np.concatenate([[True], sk[1:] != sk[:-1]])
-    return pts[order[firsts]]
+    return order[firsts]
+
+
+def downsample_nearest_center(pts: np.ndarray, voxel_size: float) -> np.ndarray:
+    return pts[downsample_nearest_center_idx(pts, voxel_size)]
 
 
 def downsample_stride(pts: np.ndarray, num: int) -> np.ndarray:

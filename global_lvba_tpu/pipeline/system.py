@@ -130,11 +130,23 @@ class LvbaSystem:
         if self.visual_result is None or not self.cfg.colmap_output.enable:
             return
         from .outputs import colorize_clouds, write_colmap_sparse, write_colored_pcd
-        from .downsample import downsample_nearest_center
+        from .downsample import downsample_nearest_center_idx
 
         res = self.visual_result
         cdir = self.out_dir / "Colmap"
         write_colmap_sparse(cdir, res.Rcw, res.tcw, res.points)
+        from .viz import export_track_compare
+
+        export_track_compare(self.out_dir / "viz", res.points_pre, res.points)
+        if images is not None:
+            # undistorted images for the COLMAP model (lvba_system.cpp:2026-2030)
+            from .outputs import undistort_image
+            import cv2
+
+            idir = cdir / "images"
+            idir.mkdir(parents=True, exist_ok=True)
+            for k, img in enumerate(images):
+                cv2.imwrite(str(idir / f"{k}.jpg"), undistort_image(self.ds.cam, img))
         if images is not None:
             colored = colorize_clouds(
                 self.ds.cam, self.ds.clouds, self.ds.lidar_times,
@@ -142,10 +154,12 @@ class LvbaSystem:
                 res.Rcw, res.tcw,
             )
             if colored.shape[0]:
-                keep = downsample_nearest_center(
+                # downsample before export (filter_size_points3D,
+                # lvba_system.cpp:2115)
+                idx = downsample_nearest_center_idx(
                     colored[:, :3], self.cfg.colmap_output.filter_size_points3D
                 )
-                write_colored_pcd(cdir / "colored_merged_after.pcd", colored)
+                write_colored_pcd(cdir / "colored_merged_after.pcd", colored[idx])
 
     # ------------------------------------------------------------------
     def run_full_pipeline(self, images=None) -> Dict:

@@ -110,3 +110,25 @@ class TestCheckpoint:
     def test_missing(self, tmp_path):
         ck = StageCheckpoint(tmp_path)
         assert not ck.has("nope")
+
+
+class TestVizExports:
+    def test_trajectory_cloud(self, tmp_path):
+        from global_lvba_tpu.pipeline.viz import export_trajectory_cloud, export_track_compare
+        from global_lvba_tpu.io.pcd import read_pcd
+
+        rng = np.random.default_rng(0)
+        clouds = [rng.uniform(-2, 2, (500, 3)).astype(np.float32) for _ in range(3)]
+        R = np.tile(np.eye(3), (3, 1, 1))
+        p = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        n = export_trajectory_cloud(tmp_path, clouds, R, p)
+        assert n > 0
+        cloud = read_pcd(tmp_path / "map_cloud.pcd", fields=("x", "y", "z"))
+        assert cloud.shape[0] == n
+        path = read_pcd(tmp_path / "map_path.pcd", fields=("x", "y", "z"))
+        assert path.shape[0] == 3
+        # data_show re-expresses relative to frame 0
+        np.testing.assert_allclose(path[0], 0, atol=1e-6)
+
+        export_track_compare(tmp_path, np.zeros((5, 3)), np.ones((5, 3)))
+        assert (tmp_path / "tracks_before.pcd").exists()
