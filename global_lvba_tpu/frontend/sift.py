@@ -180,15 +180,17 @@ def _grad_polar(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _orientation_and_desc(
     mag: jnp.ndarray, ang: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
-    params: SiftParams,
+    scale_idx: jnp.ndarray, params: SiftParams,
 ):
-    """Dominant orientation + 128-d descriptor for keypoints of ONE scale
-    image. mag/ang: (H, W); xy: (N, 2) octave coords; sigma: (N,)."""
-    H, W = mag.shape
+    """Dominant orientation + 128-d descriptor per keypoint.
+
+    mag/ang: (S, H, W) gradient images of the octave's interior scales;
+    each keypoint gathers from its own scale via scale_idx (N,)."""
+    _, H, W = mag.shape
     P = params.patch
     NB = params.ori_bins
 
-    def one(xyk, sk):
+    def one(xyk, sk, sk_idx):
         # --- orientation: 36-bin histogram over a P x P window, gaussian
         # weighted with 1.5*sigma
         radius = 1.5 * sk * 2.0
@@ -198,11 +200,13 @@ def _orientation_and_desc(
         sy = jnp.clip(xyk[1] + gy, 0, H - 1)
         xi = sx.astype(jnp.int32)
         yi = sy.astype(jnp.int32)
-        m = mag[yi, xi]
-        a = ang[yi, xi]
+        m = mag[sk_idx, yi, xi]
+        a = ang[sk_idx, yi, xi]
         w = jnp.exp(-(gx * gx + gy * gy) / (2.0 * (1.5 * sk) ** 2))
         bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * NB).astype(jnp.int32) % NB
-        hist = jnp.zeros(NB).at[bins.reshape(-1)].add((m * w).reshape(-1))
+        # scatter-free histogram: one-hot contraction (TPU scatters serialize)
+        onehot = (bins.reshape(-1)[:, None] == jnp.arange(NB)).astype(m.dtype)
+        hist = jnp.einsum("sb,s->b", onehot, (m * w).reshape(-1))
         # circular smooth x2
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -228,44 +232,34 @@ def _orientation_and_desc(
         pyc = jnp.clip(py, 0, H - 1)
         xi = pxc.astype(jnp.int32)
         yi = pyc.astype(jnp.int32)
-        m2 = mag[yi, xi]
-        a2 = ang[yi, xi] - theta
+        m2 = mag[sk_idx, yi, xi]
+        a2 = ang[sk_idx, yi, xi] - theta
         wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2))
         # trilinear binning: spatial bins from (gu, gv) in [-2, 2)
         bu = gu + 2.0 - 0.5
         bv = gv + 2.0 - 0.5
         ob8 = (a2 + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
-        bu0 = jnp.floor(bu)
-        bv0 = jnp.floor(bv)
-        bo0 = jnp.floor(ob8)
-        fu = bu - bu0
-        fv = bv - bv0
-        fo = ob8 - bo0
-        desc = jnp.zeros((4, 4, 8))
-        contrib = m2 * wgt
-        for du in (0, 1):
-            for dv in (0, 1):
-                for do in (0, 1):
-                    wu = jnp.where(du == 0, 1 - fu, fu)
-                    wv = jnp.where(dv == 0, 1 - fv, fv)
-                    wo = jnp.where(do == 0, 1 - fo, fo)
-                    iu = (bu0 + du).astype(jnp.int32)
-                    iv = (bv0 + dv).astype(jnp.int32)
-                    io = (bo0 + do).astype(jnp.int32) % 8
-                    ok = (iu >= 0) & (iu < 4) & (iv >= 0) & (iv < 4)
-                    iu_s = jnp.clip(iu, 0, 3)
-                    iv_s = jnp.clip(iv, 0, 3)
-                    val = jnp.where(ok, contrib * wu * wv * wo, 0.0)
-                    desc = desc.at[iu_s.reshape(-1), iv_s.reshape(-1), io.reshape(-1)].add(
-                        val.reshape(-1)
-                    )
-        d = desc.reshape(128)
+        contrib = (m2 * wgt).reshape(-1)
+        buf = bu.reshape(-1)
+        bvf = bv.reshape(-1)
+        bof = ob8.reshape(-1)
+        # scatter-free trilinear binning: the hat-function weights are
+        # separable, so the (4, 4, 8) bins accumulate as one einsum over
+        # dense per-axis weight tables instead of 8 scattered adds
+        centers4 = jnp.arange(4, dtype=buf.dtype)
+        Au = jnp.maximum(0.0, 1.0 - jnp.abs(buf[:, None] - centers4))   # (S, 4)
+        Av = jnp.maximum(0.0, 1.0 - jnp.abs(bvf[:, None] - centers4))   # (S, 4)
+        centers8 = jnp.arange(8, dtype=bof.dtype)
+        do_ = jnp.abs(bof[:, None] - centers8)
+        do_ = jnp.minimum(do_, 8.0 - do_)                               # circular
+        Ao = jnp.maximum(0.0, 1.0 - do_)                                # (S, 8)
+        d = jnp.einsum("s,su,sv,so->uvo", contrib, Au, Av, Ao).reshape(128)
         n = jnp.linalg.norm(d) + 1e-12
         d = jnp.minimum(d / n, 0.2)
         d = d / (jnp.linalg.norm(d) + 1e-12)
         return theta, d
 
-    return jax.vmap(one)(xy, sigma)
+    return jax.vmap(one)(xy, sigma, scale_idx)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -290,8 +284,9 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
     all_valid = []
 
     octave_img = base
-    kp_per_octave = params.max_kp // 2
     for o in range(params.n_octaves):
+        # higher octaves are smaller — scale the keypoint budget with area
+        kp_per_octave = max(64, params.max_kp // 2 >> o)
         if octave_img.shape[0] < 16 or octave_img.shape[1] < 16:
             break
         scale = first_scale * (2 ** o)
@@ -305,15 +300,12 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
         gauss = jnp.stack(gs)
         xy, s_idx, sigma_o, resp, valid = _extract_octave(gauss, params, kp_per_octave)
 
-        # orientation + descriptor per interior scale image
-        theta_all = jnp.zeros(xy.shape[0])
-        desc_all = jnp.zeros((xy.shape[0], 128))
-        for s in range(1, S + 1):
-            mag, ang = _grad_polar(gauss[s])
-            th, dd = _orientation_and_desc(mag, ang, xy, sigma_o, params)
-            sel = s_idx == s
-            theta_all = jnp.where(sel, th, theta_all)
-            desc_all = jnp.where(sel[:, None], dd, desc_all)
+        # orientation + descriptor: stacked interior-scale gradient images,
+        # each keypoint samples its own scale (no per-scale redundancy)
+        mags, angs = jax.vmap(_grad_polar)(gauss[1 : S + 1])
+        theta_all, desc_all = _orientation_and_desc(
+            mags, angs, xy, sigma_o, jnp.clip(s_idx - 1, 0, S - 1), params
+        )
 
         all_xy.append((xy + 0.5) * scale - 0.5)
         all_sigma.append(sigma_o * scale)
