@@ -194,3 +194,20 @@ class TestVisualBASolver:
         res = solve_visual_ba(prob, R, t_init, X, max_iters=20)
         np.testing.assert_allclose(np.asarray(res.R)[0], R[0], atol=1e-12)
         np.testing.assert_allclose(np.asarray(res.t)[0], t_init[0], atol=1e-12)
+
+
+class TestDepthFreeBA:
+    def test_reprojection_only_mode(self):
+        # BASELINE config (1): depth-free visual BA, reprojection factors only
+        R, t, X, pn, pd, oc, op, uv = make_visual_scene(M=6, P=90, seed=21)
+        rng = np.random.default_rng(22)
+        t_init = t + rng.normal(scale=0.02, size=t.shape)
+        t_init[0] = t[0]
+        X_init = X + rng.normal(scale=0.03, size=X.shape)
+        prob = VisualBAProblem(
+            cam=CAM, obs_cam=oc, obs_pt=op, obs_uv=uv,
+            plane_n=pn, plane_d=pd, num_cams=R.shape[0], num_pts=X.shape[0],
+            use_plane=False,
+        )
+        res = solve_visual_ba(prob, R, t_init, X_init, max_iters=30)
+        assert res.cost < 1e-5 * res.cost0
