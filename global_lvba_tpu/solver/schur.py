@@ -201,8 +201,14 @@ def solve_visual_ba(
     verbose: bool = False,
     mesh=None,
     shard_axis: str = "factors",
+    device_loop: bool = True,
 ) -> VisualBAResult:
-    """Host-driven LM loop with jitted step (Ceres-equivalent semantics).
+    """LM with Schur steps (Ceres-equivalent semantics).
+
+    device_loop=True (default) runs the whole LM as one jitted fixed-trip
+    loop with done-masking — a single device program, no per-iteration host
+    round trips.  device_loop=False keeps the host-driven loop (useful for
+    verbose debugging and true early exit).
 
     With `mesh`, observation and pair arrays are sharded over `shard_axis`
     (GSPMD): XLA partitions the residual/Jacobian work and Schur scatter
@@ -258,6 +264,57 @@ def solve_visual_ba(
 
     cost = jax.jit(partial(_cost_fn, prob, consts))
     step = jax.jit(partial(_normal_eq, prob, consts, pa, pb))
+
+    if device_loop and not verbose:
+
+        @jax.jit
+        def run(R0_, t0_, X0_):
+            c0_ = _cost_fn(prob, consts, R0_, t0_, X0_)
+            state = (
+                R0_, t0_, X0_,
+                jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
+                c0_, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+            )
+
+            def body(_i, s):
+                R_, t_, X_, u_, v_, c_prev_, it_, done_ = s
+                dc, dX, q1 = _normal_eq(prob, consts, pa, pb, R_, t_, X_, u_)
+                R_t = jnp.matmul(
+                    R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
+                )
+                t_t = t_ + dc[:, 3:6]
+                X_t = X_ + dX
+                c_new = _cost_fn(prob, consts, R_t, t_t, X_t)
+                q = c_prev_ - c_new
+                accept = q > 0
+                qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
+                u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+                u_new = jnp.where(accept, u_acc, u_ * v_)
+                v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
+                conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
+                stall = (~accept) & (u_new > 1e12)
+                frz = lambda new, old: jnp.where(done_, old, new)
+                return (
+                    frz(jnp.where(accept, R_t, R_), R_),
+                    frz(jnp.where(accept, t_t, t_), t_),
+                    frz(jnp.where(accept, X_t, X_), X_),
+                    frz(u_new, u_),
+                    frz(v_new, v_),
+                    frz(jnp.where(accept, c_new, c_prev_), c_prev_),
+                    jnp.where(done_, it_, it_ + 1),
+                    done_ | conv | stall,
+                )
+
+            R_, t_, X_, u_, v_, c_fin, it_, done_ = jax.lax.fori_loop(
+                0, max_iters, body, state
+            )
+            return R_, t_, X_, c0_, c_fin, it_
+
+        R_f, t_f, X_f, c0_j, c_f, it_j = run(R, t, X)
+        return VisualBAResult(
+            R=R_f, t=t_f, X=X_f,
+            iters=int(it_j), cost0=float(c0_j), cost=float(c_f),
+        )
 
     c_prev = float(cost(R, t, X))
     c0 = c_prev
