@@ -34,21 +34,48 @@ def load_gray_image(path, width: int, height: int) -> np.ndarray:
 def extract_images(
     images: Sequence[np.ndarray],
     params: Optional[SiftParams] = None,
+    batch: int = 4,
 ):
-    """Run device SIFT on each grayscale image; returns (kps, descs, valids)."""
+    """Run device SIFT on the images; returns (kps, descs, valids).
+
+    Same-shape images are processed in vmapped batches of `batch` — one
+    device program per batch instead of per image."""
+    import jax
     import jax.numpy as jnp
 
     params = params or SiftParams()
-    kps: List[np.ndarray] = []
-    descs: List[np.ndarray] = []
-    valids: List[np.ndarray] = []
-    for i, img in enumerate(images):
-        feats = extract_sift(jnp.asarray(img, jnp.float32), params)
-        v = np.asarray(feats.valid)
-        kps.append(np.asarray(feats.xy, np.float32))
-        descs.append(np.asarray(feats.desc, np.float32))
-        valids.append(v)
-        progress_bar(i + 1, len(images))
+    n = len(images)
+    kps: List[np.ndarray] = [None] * n
+    descs: List[np.ndarray] = [None] * n
+    valids: List[np.ndarray] = [None] * n
+
+    batched = jax.jit(
+        jax.vmap(lambda im: extract_sift(im, params)), static_argnums=()
+    )
+
+    done = 0
+    i = 0
+    while i < n:
+        shape = images[i].shape
+        j = i
+        while j < n and j - i < batch and images[j].shape == shape:
+            j += 1
+        stack = jnp.asarray(np.stack(images[i:j]), jnp.float32)
+        if j - i > 1:
+            feats = batched(stack)
+        else:
+            f = extract_sift(stack[0], params)
+            feats = jax.tree_util.tree_map(lambda x: x[None], f)
+        xy = np.asarray(feats.xy, np.float32)
+        dd = np.asarray(feats.desc, np.float32)
+        vv = np.asarray(feats.valid)
+        for k in range(i, j):
+            kps[k] = xy[k - i]
+            descs[k] = dd[k - i]
+            valids[k] = vv[k - i]
+        done = j
+        progress_bar(done, n)
+        i = j
     return kps, descs, valids
 
 
