@@ -53,9 +53,10 @@ def match_pair(
 def _pallas_match(d1, v1, d2, v2, distmax, ratiomax, tile=256):
     """TPU fast path via the streaming Pallas kernel.
 
-    Rows/cols pad to tile multiples; a bias feature column pushes padded
-    columns' similarities to -3 (< any real dot product) so padding can
-    never win the top-2 or the mutual test.
+    Rows/cols pad to tile multiples; two bias feature columns push every
+    similarity involving a padded/invalid row OR column to <= -3 (< any
+    real dot product), symmetric in both streaming passes, so padding and
+    rejected SIFT slots can never win the top-2 or steal the mutual test.
     """
     from ..ops.pallas.matcher import top2_similarity
 
@@ -63,7 +64,7 @@ def _pallas_match(d1, v1, d2, v2, distmax, ratiomax, tile=256):
     K1p = ((K1 + tile - 1) // tile) * tile
     K2p = ((K2 + tile - 1) // tile) * tile
     D = d1.shape[1]
-    Dp = ((D + 1 + 127) // 128) * 128
+    Dp = ((D + 2 + 127) // 128) * 128
 
     def prep(d, v, kp):
         out = np.zeros((kp, Dp), dtype=np.float32)
@@ -74,11 +75,14 @@ def _pallas_match(d1, v1, d2, v2, distmax, ratiomax, tile=256):
 
     d1p, b1 = prep(d1, v1, K1p)
     d2p, b2 = prep(d2, v2, K2p)
-    # bias column: row side carries 1, column side carries the bias value
+    # sim = d1·d2 + b1 (row bias) + b2 (col bias): unit column on one side,
+    # bias value on the other, in both directions
     d1p[:, D] = 1.0
     d2p[:, D] = b2
+    d1p[:, D + 1] = b1
+    d2p[:, D + 1] = 1.0
     vals, idx, colarg = top2_similarity(
-        jnp.asarray(d1p), jnp.asarray(d2p), tm=tile, tn=min(512, K2p)
+        jnp.asarray(d1p), jnp.asarray(d2p), tm=tile, tn=512
     )
     vals = np.asarray(vals)[:K1]
     idx = np.asarray(idx)[:K1]

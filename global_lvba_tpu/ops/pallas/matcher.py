@@ -67,6 +67,11 @@ def _top2_pass(d1, d2, tm: int, tn: int, interpret: bool):
     K2 = d2.shape[0]
     tn = min(tn, K2)
     tm = min(tm, K1)
+    if K1 % tm != 0 or K2 % tn != 0:
+        raise ValueError(
+            f"top2_similarity requires tile-divisible shapes: "
+            f"K1={K1} % tm={tm}, K2={K2} % tn={tn} — pad inputs first"
+        )
     grid = (K1 // tm, K2 // tn)
     vals, idxs = pl.pallas_call(
         _top2_kernel,
@@ -88,6 +93,14 @@ def _top2_pass(d1, d2, tm: int, tn: int, interpret: bool):
     return vals, idxs[:, 0]
 
 
+def _fit_tile(t: int, k: int) -> int:
+    """Largest tile <= t that divides k (halving steps, floor 8)."""
+    t = min(t, k)
+    while t > 8 and k % t != 0:
+        t //= 2
+    return t
+
+
 def top2_similarity(
     d1: jnp.ndarray,
     d2: jnp.ndarray,
@@ -99,9 +112,10 @@ def top2_similarity(
     each d2 row's best d1 index (for the mutual-best test).
 
     Returns (top2_vals (K1, 2), best_idx (K1,), col_best_row (K2,)).
-    Shape constraints: K1 % tm == 0 and K2 % tn == 0 (or smaller than the
-    tile), D % 128 == 0 — pad descriptors with zero columns/rows.
+    Shape constraints: D % 128 == 0; tiles are shrunk per-pass to divide
+    K1/K2, so any tile-divisible-by-8 row counts work (pad otherwise).
     """
-    vals, idx = _top2_pass(d1, d2, tm, tn, interpret)
-    _, colarg = _top2_pass(d2, d1, tm, tn, interpret)
+    K1, K2 = d1.shape[0], d2.shape[0]
+    vals, idx = _top2_pass(d1, d2, _fit_tile(tm, K1), _fit_tile(tn, K2), interpret)
+    _, colarg = _top2_pass(d2, d1, _fit_tile(tm, K2), _fit_tile(tn, K1), interpret)
     return vals, idx, colarg

@@ -92,8 +92,28 @@ class LvbaSystem:
         stage = "visual_ba"
         if self.resume and self.ckpt.has(stage):
             data = self.ckpt.load(stage)
+            # reconstruct the result object so export_outputs()/metrics work
+            # after a resume (Rcw_orig is derivable from the dataset poses)
+            from .depth import camera_world_to_cam
+            from .visual_ba import VisualBAResultFull
+
+            Rcw_orig, tcw_orig = camera_world_to_cam(
+                self.ds.Rci, self.ds.tci, self.ds.cam_R, self.ds.cam_p
+            )
+            self.visual_result = VisualBAResultFull(
+                Rcw=data["Rcw"], tcw=data["tcw"],
+                Rcw_pre=data["Rcw_pre"], tcw_pre=data["tcw_pre"],
+                Rcw_orig=Rcw_orig, tcw_orig=tcw_orig,
+                points=data["points"], points_pre=data["points_pre"],
+                track_obs=(data["obs_cam"], data["obs_pt"], data["obs_uv"]),
+                mean_reproj_pre=float(data["mean_reproj_pre"]),
+                mean_reproj_post=float(data["mean_reproj_post"]),
+                stats={"resumed": True},
+            )
+            self.metrics.set("visual_ba/mean_reproj_pre", self.visual_result.mean_reproj_pre)
+            self.metrics.set("visual_ba/mean_reproj_post", self.visual_result.mean_reproj_post)
             log.info("[visual_ba] resumed from checkpoint")
-            return data
+            return self.visual_result
         keypoints, matches = self._load_frontend()
         with self.timer.stage(stage):
             res = run_visual_ba(

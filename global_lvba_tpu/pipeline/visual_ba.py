@@ -187,18 +187,11 @@ def run_visual_ba(
     plane_d = -np.einsum("pi,pi->p", plane_n, lookup.centers[plane_idx[has_plane]])
 
     # assemble observation arrays from kept inlier observations
-    remap = np.full(ok.shape[0], -1, dtype=np.int64)
-    remap[use] = np.arange(use.size)
-    obs_cam_l, obs_pt_l, obs_uv_l = [], [], []
-    for ti in use:
-        sel = np.flatnonzero(kept_obs[ti])
-        for o in sel:
-            obs_cam_l.append(ts.obs_img[ti, o])
-            obs_pt_l.append(remap[ti])
-            obs_uv_l.append(ts.obs_uv[ti, o])
-    obs_cam = np.asarray(obs_cam_l, np.int32)
-    obs_pt = np.asarray(obs_pt_l, np.int32)
-    obs_uv = np.stack(obs_uv_l).astype(np.float64)
+    # (vectorized; row-major nonzero preserves the per-track, per-slot order)
+    ui, oi = np.nonzero(kept_obs[use])
+    obs_cam = ts.obs_img[use[ui], oi].astype(np.int32)
+    obs_pt = ui.astype(np.int32)
+    obs_uv = ts.obs_uv[use[ui], oi].astype(np.float64)
     stats["observations"] = int(obs_cam.shape[0])
 
     # 7. joint solve

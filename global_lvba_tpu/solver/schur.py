@@ -230,12 +230,17 @@ def solve_visual_ba(
 
         n_dev = mesh.shape[shard_axis]
         Opad = ((O + n_dev - 1) // n_dev) * n_dev
+        Q = pair_a.shape[0]
+        Qpad = ((Q + n_dev - 1) // n_dev) * n_dev
+        if Qpad > Q and Opad == O:
+            # padded pairs must point at a zero-weight observation; if the
+            # observation array needs no padding of its own, add one full
+            # shard row of zero-weight slots so pad_obs is never a real obs
+            Opad += n_dev
         obs_cam = np.pad(obs_cam, (0, Opad - O))
         obs_pt = np.pad(obs_pt, (0, Opad - O))
         obs_uv = np.pad(obs_uv, ((0, Opad - O), (0, 0)))
         obs_w = np.pad(obs_w, (0, Opad - O))
-        Q = pair_a.shape[0]
-        Qpad = ((Q + n_dev - 1) // n_dev) * n_dev
         # padded pairs point at a zero-weight padded observation
         pad_obs = np.int32(Opad - 1) if Opad > O else np.int32(0)
         pair_a = np.pad(pair_a, (0, Qpad - Q), constant_values=pad_obs)

@@ -55,13 +55,15 @@ class StageCheckpoint:
         lists = {
             k[len("__list__"):]: int(v) for k, v in meta.items() if k.startswith("__list__")
         }
+        list_entry_keys = set()
         for k, n in lists.items():
             out[k] = [data[f"{k}__{i}"] for i in range(n)]
+            list_entry_keys.update(f"{k}__{i}" for i in range(n))
         for k, v in meta.items():
             if not k.startswith("__list__"):
                 out[k] = v
         for k in data.files:
-            if k == "__meta__" or "__" in k:
+            if k == "__meta__" or k in list_entry_keys:
                 continue
             out[k] = data[k]
         return out
