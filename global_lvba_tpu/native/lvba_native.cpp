@@ -10,6 +10,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -122,6 +123,316 @@ void lvba_union_find(long n, const long long* edges_a, const long long* edges_b,
     size[ra] += size[rb];
   }
   for (long i = 0; i < n; ++i) label_out[i] = find(i);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded CPU evaluation of the BALM plane eigen-factor (cost,
+// gradient, Hessian) — the fair `vs_baseline` denominator for bench.py.
+// Same math as VOX_HESS::acc_evaluate2 (formulas re-derived; see
+// eval/oracle.py), optimized C++ with a std::thread fan-out over voxels and
+// per-thread (g, H) accumulators reduced on join — the reference's own
+// divide_thread parallelization pattern (bavoxel.hpp:597-639).
+
+namespace {
+
+struct M3 {
+  double a[9];
+  double* operator[](int r) { return a + 3 * r; }
+  const double* operator[](int r) const { return a + 3 * r; }
+};
+
+inline void mat3_mul(const double* A, const double* B, double* C) {
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      double s = 0;
+      for (int k = 0; k < 3; ++k) s += A[3 * i + k] * B[3 * k + j];
+      C[3 * i + j] = s;
+    }
+}
+
+inline void hat3(const double* v, double* H) {
+  H[0] = 0;      H[1] = -v[2]; H[2] = v[1];
+  H[3] = v[2];   H[4] = 0;     H[5] = -v[0];
+  H[6] = -v[1];  H[7] = v[0];  H[8] = 0;
+}
+
+// Cyclic Jacobi eigendecomposition of a symmetric 3x3; ascending
+// eigenvalues, columns of V are eigenvectors.
+inline void eigh3(const double* Ain, double* lam, double* V) {
+  double A[9];
+  std::memcpy(A, Ain, sizeof(A));
+  double Vm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  for (int sweep = 0; sweep < 30; ++sweep) {
+    double off = std::fabs(A[1]) + std::fabs(A[2]) + std::fabs(A[5]);
+    if (off < 1e-300) break;
+    for (int pq = 0; pq < 3; ++pq) {
+      int p = pq == 0 ? 0 : (pq == 1 ? 0 : 1);
+      int q = pq == 0 ? 1 : (pq == 1 ? 2 : 2);
+      double apq = A[3 * p + q];
+      if (std::fabs(apq) < 1e-300) continue;
+      double app = A[3 * p + p], aqq = A[3 * q + q];
+      double tau = (aqq - app) / (2.0 * apq);
+      double t = (tau >= 0 ? 1.0 : -1.0) /
+                 (std::fabs(tau) + std::sqrt(1.0 + tau * tau));
+      double c = 1.0 / std::sqrt(1.0 + t * t);
+      double s = t * c;
+      for (int k = 0; k < 3; ++k) {
+        double akp = A[3 * k + p], akq = A[3 * k + q];
+        A[3 * k + p] = c * akp - s * akq;
+        A[3 * k + q] = s * akp + c * akq;
+      }
+      for (int k = 0; k < 3; ++k) {
+        double apk = A[3 * p + k], aqk = A[3 * q + k];
+        A[3 * p + k] = c * apk - s * aqk;
+        A[3 * q + k] = s * apk + c * aqk;
+      }
+      for (int k = 0; k < 3; ++k) {
+        double vkp = Vm[3 * k + p], vkq = Vm[3 * k + q];
+        Vm[3 * k + p] = c * vkp - s * vkq;
+        Vm[3 * k + q] = s * vkp + c * vkq;
+      }
+    }
+  }
+  int ord[3] = {0, 1, 2};
+  double d[3] = {A[0], A[4], A[8]};
+  for (int i = 0; i < 2; ++i)
+    for (int j = i + 1; j < 3; ++j)
+      if (d[ord[j]] < d[ord[i]]) std::swap(ord[i], ord[j]);
+  for (int i = 0; i < 3; ++i) {
+    lam[i] = d[ord[i]];
+    for (int k = 0; k < 3; ++k) V[3 * k + i] = Vm[3 * k + ord[i]];
+  }
+}
+
+struct PlaneCghArgs {
+  const float* n;
+  const float* mu;
+  const float* Pc;
+  const int* frame;
+  long V;
+  int K;
+  const double* R;
+  const double* p;
+  int W;
+};
+
+void plane_cgh_range(const PlaneCghArgs& a, long v0, long v1, double* resid,
+                     double* g, double* H) {
+  const int K = a.K, W = a.W;
+  std::vector<double> Praw(K * 9), vi(K * 3), Auk(K * 18), wv(K * 3),
+      jj(K * 6);
+  std::vector<int> slots(K);
+  for (long v = v0; v < v1; ++v) {
+    int ns = 0;
+    double N = 0;
+    for (int k = 0; k < K; ++k) {
+      double nn = a.n[v * K + k];
+      if (nn > 0) {
+        slots[ns++] = k;
+        N += nn;
+      }
+    }
+    if (ns == 0) continue;
+    // aggregate world moments
+    double vtot[3] = {0, 0, 0}, Ptot[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    for (int si = 0; si < ns; ++si) {
+      int k = slots[si];
+      double nn = a.n[v * K + k];
+      const float* muk = a.mu + (v * K + k) * 3;
+      const float* Pck = a.Pc + (v * K + k) * 9;
+      int f = a.frame[v * K + k];
+      const double* Rf = a.R + f * 9;
+      const double* pf = a.p + f * 3;
+      double Pr[9], vk[3];
+      for (int i = 0; i < 3; ++i) {
+        vk[i] = nn * muk[i];
+        for (int j = 0; j < 3; ++j)
+          Pr[3 * i + j] = Pck[3 * i + j] + nn * (double)muk[i] * muk[j];
+      }
+      std::memcpy(&Praw[k * 9], Pr, sizeof(Pr));
+      std::memcpy(&vi[k * 3], vk, sizeof(vk));
+      double Rv[3];
+      for (int i = 0; i < 3; ++i) {
+        Rv[i] = Rf[3 * i] * vk[0] + Rf[3 * i + 1] * vk[1] + Rf[3 * i + 2] * vk[2];
+        vtot[i] += Rv[i] + nn * pf[i];
+      }
+      double RP[9], RPRt[9];
+      mat3_mul(Rf, Pr, RP);
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+          RPRt[3 * i + j] =
+              RP[3 * i] * Rf[3 * j] + RP[3 * i + 1] * Rf[3 * j + 1] +
+              RP[3 * i + 2] * Rf[3 * j + 2];
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+          Ptot[3 * i + j] += RPRt[3 * i + j] + Rv[i] * pf[j] + pf[i] * Rv[j] +
+                             nn * pf[i] * pf[j];
+    }
+    double vbar[3] = {vtot[0] / N, vtot[1] / N, vtot[2] / N};
+    double cov[9];
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j)
+        cov[3 * i + j] = Ptot[3 * i + j] / N - vbar[i] * vbar[j];
+    double lam[3], U[9];
+    eigh3(cov, lam, U);
+    double uk[3] = {U[0], U[3], U[6]};
+    *resid += lam[0];
+    double umumT[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    for (int e = 1; e < 3; ++e) {
+      double den = lam[0] - lam[e];
+      if (std::fabs(den) < 1e-300) den = -1e-300;
+      double ue[3] = {U[e], U[3 + e], U[6 + e]};
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j)
+          umumT[3 * i + j] += 2.0 / den * ue[i] * ue[j];
+    }
+    // per-slot A, w, gradient, diagonal D
+    for (int si = 0; si < ns; ++si) {
+      int k = slots[si];
+      double nn = a.n[v * K + k];
+      int f = a.frame[v * K + k];
+      const double* Rf = a.R + f * 9;
+      const double* pf = a.p + f * 3;
+      const double* Pr = &Praw[k * 9];
+      const double* vk = &vi[k * 3];
+      double RiTuk[3];
+      for (int i = 0; i < 3; ++i)
+        RiTuk[i] = Rf[i] * uk[0] + Rf[3 + i] * uk[1] + Rf[6 + i] * uk[2];
+      double w[3] = {vk[1] * RiTuk[2] - vk[2] * RiTuk[1],
+                     vk[2] * RiTuk[0] - vk[0] * RiTuk[2],
+                     vk[0] * RiTuk[1] - vk[1] * RiTuk[0]};
+      std::memcpy(&wv[k * 3], w, sizeof(w));
+      double tiv[3] = {pf[0] - vbar[0], pf[1] - vbar[1], pf[2] - vbar[2]};
+      double aa = uk[0] * tiv[0] + uk[1] * tiv[1] + uk[2] * tiv[2];
+      double PiRiTuk[3];
+      for (int i = 0; i < 3; ++i)
+        PiRiTuk[i] =
+            Pr[3 * i] * RiTuk[0] + Pr[3 * i + 1] * RiTuk[1] + Pr[3 * i + 2] * RiTuk[2];
+      double hatP[9], hatv[9], hatR[9];
+      hat3(PiRiTuk, hatP);
+      hat3(vk, hatv);
+      hat3(RiTuk, hatR);
+      double combo1[9];
+      for (int i = 0; i < 9; ++i) combo1[i] = hatP[i] + hatv[i] * aa;
+      double combo2[3];
+      for (int i = 0; i < 3; ++i)
+        combo2[i] = Rf[3 * i] * vk[0] + Rf[3 * i + 1] * vk[1] +
+                    Rf[3 * i + 2] * vk[2] + nn * tiv[i];
+      // A[:,0:3] = (Rf Praw + tiv viᵀ) hatR − Rf combo1; A[:,3:6] = ...
+      double RP[9], tmp[9], Rc1[9];
+      mat3_mul(Rf, Pr, RP);
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) tmp[3 * i + j] = RP[3 * i + j] + tiv[i] * vk[j];
+      double left[9];
+      mat3_mul(tmp, hatR, left);
+      mat3_mul(Rf, combo1, Rc1);
+      double* A = &Auk[k * 18];
+      double c2u = combo2[0] * uk[0] + combo2[1] * uk[1] + combo2[2] * uk[2];
+      for (int i = 0; i < 3; ++i) {
+        for (int j = 0; j < 3; ++j) {
+          A[6 * i + j] = (left[3 * i + j] - Rc1[3 * i + j]) / N;
+          A[6 * i + 3 + j] =
+              (combo2[i] * uk[j] + (i == j ? c2u : 0.0)) / N;
+        }
+      }
+      double* jk = &jj[k * 6];
+      for (int c = 0; c < 6; ++c)
+        jk[c] = A[c] * uk[0] + A[6 + c] * uk[1] + A[12 + c] * uk[2];
+      for (int c = 0; c < 6; ++c) g[6 * f + c] += jk[c];
+      // diagonal block D
+      double hatRP[9], diff[9], Drr[9], hatj[9];
+      mat3_mul(hatR, Pr, hatRP);
+      for (int i = 0; i < 9; ++i) diff[i] = combo1[i] - hatRP[i];
+      mat3_mul(diff, hatR, Drr);
+      hat3(jk, hatj);  // uses jk[0:3]
+      double* Hrow = H + (6 * f) * (6 * W) + 6 * f;
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+          Hrow[i * 6 * W + j] += 2.0 / N * Drr[3 * i + j] - 0.5 * hatj[3 * i + j];
+          Hrow[i * 6 * W + 3 + j] += 2.0 / N * w[i] * uk[j];
+          Hrow[(3 + i) * 6 * W + j] += 2.0 / N * w[j] * uk[i];
+          Hrow[(3 + i) * 6 * W + 3 + j] += 2.0 * nn / N * uk[i] * uk[j];
+        }
+    }
+    // cross blocks for every ordered slot pair
+    double inv2 = 2.0 / (N * N);
+    for (int si = 0; si < ns; ++si) {
+      int ki = slots[si];
+      double ni = a.n[v * K + ki];
+      int fi = a.frame[v * K + ki];
+      double T[18];  // umumT @ A_ki -> used transposed
+      const double* Ai = &Auk[ki * 18];
+      for (int i = 0; i < 3; ++i)
+        for (int c = 0; c < 6; ++c)
+          T[6 * i + c] = umumT[3 * i] * Ai[c] + umumT[3 * i + 1] * Ai[6 + c] +
+                         umumT[3 * i + 2] * Ai[12 + c];
+      for (int sj = 0; sj < ns; ++sj) {
+        int kj = slots[sj];
+        double nj = a.n[v * K + kj];
+        int fj = a.frame[v * K + kj];
+        const double* Aj = &Auk[kj * 18];
+        double* Hrow = H + (6 * fi) * (6 * W) + 6 * fj;
+        // B = Aiᵀ umumT Aj = Tᵀ(6x3)... note T = umumT @ Ai (3x6)
+        for (int r = 0; r < 6; ++r)
+          for (int c = 0; c < 6; ++c) {
+            double s = T[r] * Aj[c] + T[6 + r] * Aj[6 + c] + T[12 + r] * Aj[12 + c];
+            Hrow[r * 6 * W + c] += s;
+          }
+        const double* wi = &wv[ki * 3];
+        const double* wj = &wv[kj * 3];
+        for (int i = 0; i < 3; ++i)
+          for (int j = 0; j < 3; ++j) {
+            Hrow[i * 6 * W + j] += -inv2 * wi[i] * wj[j];
+            Hrow[i * 6 * W + 3 + j] += -inv2 * nj * wi[i] * uk[j];
+            Hrow[(3 + i) * 6 * W + j] += -inv2 * ni * uk[i] * wj[j];
+            Hrow[(3 + i) * 6 * W + 3 + j] += -inv2 * ni * nj * uk[i] * uk[j];
+          }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Multithreaded plane-factor (residual, gradient, Hessian) evaluation.
+// n (V,K) f32; mu (V,K,3) f32; Pc (V,K,3,3) f32; frame (V,K) i32;
+// R (W,3,3) f64 row-major; p (W,3) f64; outputs resid (1), g (6W), H (6W,6W).
+void lvba_plane_cgh(const float* n, const float* mu, const float* Pc,
+                    const int* frame, long V, int K, const double* R,
+                    const double* p, int W, int n_threads, double* resid_out,
+                    double* g_out, double* H_out) {
+  PlaneCghArgs args{n, mu, Pc, frame, V, K, R, p, W};
+  int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((long)T > V) T = (int)(V > 0 ? V : 1);
+  long n6 = 6L * W;
+  std::vector<std::vector<double>> gs(T), Hs(T);
+  std::vector<double> rs(T, 0.0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    gs[t].assign(n6, 0.0);
+    Hs[t].assign(n6 * n6, 0.0);
+  }
+  for (int t = 0; t < T; ++t) {
+    long v0 = V * t / T, v1 = V * (t + 1) / T;
+    threads.emplace_back([&, t, v0, v1]() {
+      plane_cgh_range(args, v0, v1, &rs[t], gs[t].data(), Hs[t].data());
+    });
+  }
+  double resid = 0;
+  std::memset(g_out, 0, n6 * sizeof(double));
+  std::memset(H_out, 0, n6 * n6 * sizeof(double));
+  for (int t = 0; t < T; ++t) {
+    threads[t].join();
+    resid += rs[t];
+    for (long i = 0; i < n6; ++i) g_out[i] += gs[t][i];
+    for (long i = 0; i < n6 * n6; ++i) H_out[i] += Hs[t][i];
+  }
+  *resid_out = resid;
 }
 
 }  // extern "C"

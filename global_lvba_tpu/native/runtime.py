@@ -25,7 +25,7 @@ def _build() -> bool:
     src = _DIR / "lvba_native.cpp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              str(src), "-o", str(_SO)],
             check=True, capture_output=True, timeout=120,
         )
@@ -67,6 +67,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p,
     ]
+    if hasattr(lib, "lvba_plane_cgh"):
+        lib.lvba_plane_cgh.restype = None
+        lib.lvba_plane_cgh.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
     _lib = lib
     return lib
 
@@ -108,6 +116,44 @@ def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def plane_cgh(bucket, R: np.ndarray, p: np.ndarray, W: int,
+              n_threads: int = 0):
+    """Multithreaded C++ plane-factor (resid, grad, Hessian) — the honest
+    CPU baseline of the reference's acc_evaluate2 + divide_thread
+    (/root/reference/include/BALM/bavoxel.hpp:68-174,597-639).
+
+    bucket: PlaneFactorBucket-like with n (V,K) f32, mu, Pc, frame.
+    Returns (resid, g (6W,), H (6W, 6W)) in f64, or None without the lib.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_plane_cgh"):
+        return None
+    n = np.ascontiguousarray(bucket.n, dtype=np.float32)
+    mu = np.ascontiguousarray(bucket.mu, dtype=np.float32)
+    Pc = np.ascontiguousarray(bucket.Pc, dtype=np.float32)
+    frame = np.ascontiguousarray(bucket.frame, dtype=np.int32)
+    R64 = np.ascontiguousarray(R, dtype=np.float64)
+    p64 = np.ascontiguousarray(p, dtype=np.float64)
+    V, K = n.shape
+    resid = np.zeros(1, dtype=np.float64)
+    g = np.zeros(6 * W, dtype=np.float64)
+    H = np.zeros((6 * W, 6 * W), dtype=np.float64)
+    lib.lvba_plane_cgh(
+        n.ctypes.data_as(ctypes.c_void_p),
+        mu.ctypes.data_as(ctypes.c_void_p),
+        Pc.ctypes.data_as(ctypes.c_void_p),
+        frame.ctypes.data_as(ctypes.c_void_p),
+        V, K,
+        R64.ctypes.data_as(ctypes.c_void_p),
+        p64.ctypes.data_as(ctypes.c_void_p),
+        W, n_threads,
+        resid.ctypes.data_as(ctypes.c_void_p),
+        g.ctypes.data_as(ctypes.c_void_p),
+        H.ctypes.data_as(ctypes.c_void_p),
+    )
+    return float(resid[0]), g, H
 
 
 def union_find(n: int, edges: np.ndarray) -> Optional[np.ndarray]:

@@ -100,26 +100,34 @@ def lm_damping_iter_sharded(
     mesh: Mesh,
     axis: str = "factors",
     max_iters: int = 10,
+    reduced_solver: str = "lu",
 ) -> LMResult:
     """LM over factor-sharded buckets via GSPMD: data sharded, kernels jitted.
 
     XLA partitions the per-voxel work across the mesh and inserts the
     cross-device reductions.  When the mesh also carries a 'frames' axis,
-    the assembled (6W, 6W) reduced system is column-sharded over it —
-    keyframe-block state parallelism on top of factor data parallelism.
+    the assembled (6W, 6W) reduced system is sharded over it — keyframe-
+    block state parallelism on top of factor data parallelism.  With
+    reduced_solver="cg" the damped solve itself distributes: the system is
+    row-sharded over frames and each CG matvec evaluates its row blocks
+    locally (solver/dist_solve.py); "lu" keeps the replicated direct solve.
     """
     sharded = shard_buckets(buckets, mesh, axis)
     rep = NamedSharding(mesh, P())
     R0 = jax.device_put(R0, rep)
     p0 = jax.device_put(p0, rep)
     h_sharding = None
-    if "frames" in mesh.axis_names:
+    shard_ax = "frames" if "frames" in mesh.axis_names else axis
+    if reduced_solver == "cg":
+        h_sharding = NamedSharding(mesh, P(shard_ax, None))
+    elif "frames" in mesh.axis_names:
         h_sharding = NamedSharding(mesh, P(None, "frames"))
 
     @jax.jit
     def run(R, p):
         return lm_damping_iter(
-            sharded, R, p, max_iters=max_iters, h_sharding=h_sharding
+            sharded, R, p, max_iters=max_iters, h_sharding=h_sharding,
+            reduced_solver=reduced_solver,
         )
 
     return run(R0, p0)

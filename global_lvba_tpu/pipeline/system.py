@@ -146,7 +146,15 @@ class LvbaSystem:
 
     # ------------------------------------------------------------------
     def export_outputs(self, images: Optional[Sequence[np.ndarray]] = None):
-        """COLMAP sparse model + colored clouds (colmap_output/enable)."""
+        """COLMAP sparse model + colored clouds (colmap_output/enable).
+
+        File set matches the reference (lvba_system.cpp:1945-2137):
+        Colmap/sparse/images.txt (optimized poses), Colmap/images/<k>.jpg
+        (undistorted), Colmap/colored_merged_{before,after}.pcd
+        (original-/optimized-pose colorized clouds, downsampled at
+        filter_size_points3D), and Colmap/sparse/points3D.txt derived from
+        the downsampled AFTER cloud (:2126-2137) — not from track points.
+        """
         if self.visual_result is None or not self.cfg.colmap_output.enable:
             return
         from .outputs import colorize_clouds, write_colmap_sparse, write_colored_pcd
@@ -154,32 +162,47 @@ class LvbaSystem:
 
         res = self.visual_result
         cdir = self.out_dir / "Colmap"
-        write_colmap_sparse(cdir, res.Rcw, res.tcw, res.points)
         from .viz import export_track_compare
 
         export_track_compare(self.out_dir / "viz", res.points_pre, res.points)
-        if images is not None:
-            # undistorted images for the COLMAP model (lvba_system.cpp:2026-2030)
-            from .outputs import undistort_image
-            import cv2
+        if images is None:
+            # no imagery: emit the sparse model from track points only
+            write_colmap_sparse(cdir, res.Rcw, res.tcw, res.points)
+            return
+        # undistorted images for the COLMAP model (lvba_system.cpp:2026-2030)
+        from .outputs import undistort_image
+        import cv2
 
-            idir = cdir / "images"
-            idir.mkdir(parents=True, exist_ok=True)
-            for k, img in enumerate(images):
-                cv2.imwrite(str(idir / f"{k}.jpg"), undistort_image(self.ds.cam, img))
-        if images is not None:
-            colored = colorize_clouds(
-                self.ds.cam, self.ds.clouds, self.ds.lidar_times,
-                self.R_opt, self.p_opt, self.ds.image_times, images,
-                res.Rcw, res.tcw,
+        idir = cdir / "images"
+        idir.mkdir(parents=True, exist_ok=True)
+        for k, img in enumerate(images):
+            cv2.imwrite(str(idir / f"{k}.jpg"), undistort_image(self.ds.cam, img))
+        leaf = self.cfg.colmap_output.filter_size_points3D
+        colored_after = colorize_clouds(
+            self.ds.cam, self.ds.clouds, self.ds.lidar_times,
+            self.R_opt, self.p_opt, self.ds.image_times, images,
+            res.Rcw, res.tcw,
+        )
+        colored_before = colorize_clouds(
+            self.ds.cam, self.ds.clouds, self.ds.lidar_times,
+            self.ds.lidar_R, self.ds.lidar_p, self.ds.image_times, images,
+            res.Rcw_orig, res.tcw_orig,
+        )
+        pts3d = res.points
+        rgb3d = None
+        if colored_after.shape[0]:
+            idx = downsample_nearest_center_idx(colored_after[:, :3], leaf)
+            down_after = colored_after[idx]
+            write_colored_pcd(cdir / "colored_merged_after.pcd", down_after)
+            # points3D.txt = the downsampled colored merged cloud
+            pts3d = down_after[:, :3]
+            rgb3d = down_after[:, 3:6]
+        if colored_before.shape[0]:
+            idx = downsample_nearest_center_idx(colored_before[:, :3], leaf)
+            write_colored_pcd(
+                cdir / "colored_merged_before.pcd", colored_before[idx]
             )
-            if colored.shape[0]:
-                # downsample before export (filter_size_points3D,
-                # lvba_system.cpp:2115)
-                idx = downsample_nearest_center_idx(
-                    colored[:, :3], self.cfg.colmap_output.filter_size_points3D
-                )
-                write_colored_pcd(cdir / "colored_merged_after.pcd", colored[idx])
+        write_colmap_sparse(cdir, res.Rcw, res.tcw, pts3d, points_rgb=rgb3d)
 
     # ------------------------------------------------------------------
     def run_full_pipeline(self, images=None) -> Dict:

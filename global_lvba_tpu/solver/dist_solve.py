@@ -1,0 +1,103 @@
+"""Distributed reduced-system solve: block-Jacobi preconditioned CG.
+
+Replaces the replicated LU factorization of the damped reduced system —
+the scaling wall once W (keyframes/anchors) reaches the thousands — with a
+solver whose per-iteration work partitions over the 'frames' mesh axis:
+
+  * the (6W, 6W) system matrix is row-sharded over frames; the CG matvec
+    is a sharded matmul whose row blocks evaluate locally, with XLA
+    inserting the all-gather of the replicated direction vector and the
+    psum for the dot products (SURVEY.md §2.3 items 2/5 — the distributed
+    replacement for SimplicialLDLT, /root/reference/include/BALM/
+    bavoxel.hpp:695-710, and Ceres DENSE_SCHUR,
+    /root/reference/src/lvba_system.cpp:1571-1576);
+  * the preconditioner is the inverse of the 6x6 (or bsize x bsize)
+    diagonal blocks — entirely local to each row shard;
+  * fixed-trip fori_loop with done-masking (dynamic while_loop de-optimizes
+    ~100x through this backend, see solver/lm.py).
+
+The replicated LU remains the default for small W where an O(W^3) direct
+solve on one chip is cheaper than ~sqrt(kappa) sharded matvecs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_jacobi_inv(A: jnp.ndarray, bsize: int) -> jnp.ndarray:
+    """Inverses of the bsize x bsize diagonal blocks of A (n, n)."""
+    n = A.shape[0]
+    W = n // bsize
+    blocks = A.reshape(W, bsize, W, bsize)
+    diag = blocks[jnp.arange(W), :, jnp.arange(W), :]        # (W, b, b)
+    eye = jnp.eye(bsize, dtype=A.dtype)
+    return jnp.linalg.inv(diag + 1e-30 * eye)
+
+
+def solve_damped_cg(
+    H: jnp.ndarray,
+    g: jnp.ndarray,
+    u: jnp.ndarray,
+    bsize: int = 6,
+    max_iters: int = 256,
+    tol: float = 1e-10,
+    h_sharding=None,
+) -> jnp.ndarray:
+    """Solve (H + u * diag(H)) dx = -g by block-Jacobi preconditioned CG.
+
+    `h_sharding` (a NamedSharding row-sharding H over the frames axis)
+    makes the matvec distribute under GSPMD; without it the same code runs
+    single-device.  Matmuls run at HIGHEST precision — the bf16 default
+    stalls convergence exactly as it does for the LU path (solver/lm.py).
+    """
+    with jax.default_matmul_precision("highest"):
+        d = jnp.diagonal(H)
+        if h_sharding is not None:
+            H = jax.lax.with_sharding_constraint(H, h_sharding)
+
+        def matvec(x):
+            return H @ x + u * d * x
+
+        Minv = _block_jacobi_inv(H + jnp.diag(u * d), bsize)
+
+        def precond(r):
+            W = r.shape[0] // bsize
+            return jnp.einsum(
+                "wab,wb->wa", Minv, r.reshape(W, bsize)
+            ).reshape(-1)
+
+        b = -g
+        x = jnp.zeros_like(g)
+        r = b
+        z = precond(r)
+        p = z
+        rz = jnp.dot(r, z)
+        b2 = jnp.maximum(jnp.dot(b, b), 1e-300)
+
+        def body(_i, s):
+            x, r, p, rz, done = s
+            Ap = matvec(p)
+            denom = jnp.dot(p, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            x_n = x + alpha * p
+            r_n = r - alpha * Ap
+            z_n = precond(r_n)
+            rz_n = jnp.dot(r_n, z_n)
+            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+            p_n = z_n + beta * p
+            conv = jnp.dot(r_n, r_n) / b2 < tol * tol
+            frz = lambda new, old: jnp.where(done, old, new)
+            return (
+                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
+                done | conv,
+            )
+
+        x, r, p, rz, done = jax.lax.fori_loop(
+            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
+        )
+        return x

@@ -93,6 +93,7 @@ def lm_damping_iter(
     v_init: float = 2.0,
     rel_tol: float = 1e-6,
     h_sharding=None,
+    reduced_solver: str = "lu",
 ) -> LMResult:
     """Run damped LM over plane-eigen factor buckets.
 
@@ -100,14 +101,18 @@ def lm_damping_iter(
     solves with the same shapes reuse the executable) — calling the solver
     eagerly would dispatch the pre-loop evaluation op-by-op, which through
     a remote-device link costs orders of magnitude more than the compute.
+
+    reduced_solver: "lu" (replicated direct solve; right for small W) or
+    "cg" (block-Jacobi preconditioned CG whose matvec distributes over the
+    `h_sharding` row sharding; the large-W scaling path — solver/dist_solve.py).
     """
     return _lm_jitted(
         tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
-        float(rel_tol), h_sharding,
+        float(rel_tol), h_sharding, str(reduced_solver),
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _lm_jitted(
     buckets,
     R0: jnp.ndarray,
@@ -117,6 +122,7 @@ def _lm_jitted(
     v_init: float,
     rel_tol: float,
     h_sharding,
+    reduced_solver: str = "lu",
 ) -> LMResult:
     W = R0.shape[0]
     g_size = sum(int(fa.n.shape[0]) for fa in buckets)
@@ -146,7 +152,12 @@ def _lm_jitted(
 
     def body_fn(_i, s):
         R, p, u, v, res1, g, H, it, done = s
-        dx = _solve_damped(H, g, u)
+        if reduced_solver == "cg":
+            from .dist_solve import solve_damped_cg
+
+            dx = solve_damped_cg(H, g, u, h_sharding=h_sharding)
+        else:
+            dx = _solve_damped(H, g, u)
         dxp = dx.reshape(W, 6)
         R_t, p_t = boxplus_pose(R, p, dxp)
         d = jnp.diagonal(H)

@@ -53,6 +53,10 @@ class VisualBAProblem:
     sigma_plane: float = 0.01
     use_plane: bool = True
     fix_first: bool = True
+    # "lu": replicated direct solve of the reduced camera system; "cg":
+    # block-Jacobi preconditioned CG whose matvec row-shards over the mesh
+    # (solver/dist_solve.py) — the large-M scaling path
+    reduced_solver: str = "lu"
 
 
 class VisualBAResult(NamedTuple):
@@ -96,16 +100,19 @@ def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
     return 0.5 * c
 
 
-def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
+def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
+               s_sharding=None):
     """One damped normal-equation build + solve. Returns (dc, dX, q1).
 
     Traced under HIGHEST matmul precision — the TPU bf16 default corrupts
     the Schur assembly and the reduced LU solve (see solver/lm.py note)."""
     with jax.default_matmul_precision("highest"):
-        return _normal_eq_inner(prob, consts, pair_a, pair_b, R, t, X, u)
+        return _normal_eq_inner(prob, consts, pair_a, pair_b, R, t, X, u,
+                                s_sharding)
 
 
-def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
+def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
+                     s_sharding=None):
     cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
 
@@ -166,10 +173,19 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u):
 
     A = jnp.transpose(S, (0, 2, 1, 3)).reshape(M * 6, M * 6)
     rhs = b.reshape(M * 6)
-    lu, piv = jax.scipy.linalg.lu_factor(A)
-    dc = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-    resd = rhs - A @ dc
-    dc = dc + jax.scipy.linalg.lu_solve((lu, piv), resd)
+    if prob.reduced_solver == "cg":
+        # distributed path: A is already damped (dHcc) and made nonsingular
+        # by fix_first; CG solves A dc = rhs with zero extra damping
+        from .dist_solve import solve_damped_cg
+
+        dc = solve_damped_cg(
+            A, -rhs, jnp.zeros((), A.dtype), h_sharding=s_sharding
+        )
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+        dc = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        resd = rhs - A @ dc
+        dc = dc + jax.scipy.linalg.lu_solve((lu, piv), resd)
     dc = dc.reshape(M, 6)
 
     # landmark back-substitution: dX = Hpp⁻¹(−g_p − Σ W_oᵀ dc_{cam_o})
@@ -262,13 +278,19 @@ def solve_visual_ba(
     )
     pa = put(pair_a, True)
     pb = put(pair_b, True)
+    s_sharding = None
+    if mesh is not None and prob.reduced_solver == "cg":
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        # row-shard the reduced (6M, 6M) camera system for the CG matvec
+        s_sharding = NamedSharding(mesh, P_(shard_axis, None))
 
     R = put(np.asarray(R0).astype(dtype), False)
     t = put(np.asarray(t0).astype(dtype), False)
     X = put(np.asarray(X0).astype(dtype), False)
 
     cost = jax.jit(partial(_cost_fn, prob, consts))
-    step = jax.jit(partial(_normal_eq, prob, consts, pa, pb))
+    step = jax.jit(partial(_normal_eq, prob, consts, pa, pb, s_sharding=s_sharding))
 
     if device_loop and not verbose:
 
@@ -283,7 +305,8 @@ def solve_visual_ba(
 
             def body(_i, s):
                 R_, t_, X_, u_, v_, c_prev_, it_, done_ = s
-                dc, dX, q1 = _normal_eq(prob, consts, pa, pb, R_, t_, X_, u_)
+                dc, dX, q1 = _normal_eq(prob, consts, pa, pb, R_, t_, X_, u_,
+                                        s_sharding=s_sharding)
                 R_t = jnp.matmul(
                     R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
                 )

@@ -120,3 +120,58 @@ class TestFullPipeline:
         assert result2["mean_reproj_post"] == pytest.approx(
             result["mean_reproj_post"], abs=1e-9
         )
+
+    def test_output_tree_matches_reference_layout(self, synthetic_dataset, tmp_path):
+        """Golden-file layout: the export tree must carry the reference's
+        file set (lvba_system.cpp:1945-2137): Colmap/sparse/{images.txt,
+        points3D.txt}, Colmap/images/<k>.jpg, Colmap/colored_merged_
+        {before,after}.pcd, depth/<ts>.png — with points3D.txt derived
+        from the downsampled colored merged cloud."""
+        import dataclasses
+
+        root, cfg, js, sc, _ = synthetic_dataset
+        cfg2 = dataclasses.replace(
+            cfg, colmap_output=dataclasses.replace(
+                cfg.colmap_output, enable=True, filter_size_points3D=0.05
+            )
+        )
+        out = tmp_path / "out_export"
+        system = LvbaSystem(cfg2, out_dir=out, resume=True)
+        # synthetic camera-sized imagery with spatial color structure
+        H, W = js.cam.height, js.cam.width
+        rng = np.random.default_rng(5)
+        images = []
+        for _ in js.image_times:
+            img = np.zeros((H, W, 3), np.uint8)
+            img[..., 0] = np.linspace(0, 255, W, dtype=np.uint8)[None, :]
+            img[..., 1] = np.linspace(0, 255, H, dtype=np.uint8)[:, None]
+            img[..., 2] = rng.integers(0, 255)
+            images.append(img)
+        system.run_full_pipeline(images=images)
+
+        M = len(js.image_times)
+        assert (out / "Colmap" / "sparse" / "images.txt").exists()
+        assert (out / "Colmap" / "sparse" / "points3D.txt").exists()
+        assert (out / "Colmap" / "colored_merged_after.pcd").exists()
+        assert (out / "Colmap" / "colored_merged_before.pcd").exists()
+        for k in range(M):
+            assert (out / "Colmap" / "images" / f"{k}.jpg").exists()
+        depth_files = list((out / "depth").glob("*.png"))
+        assert len(depth_files) == M
+
+        # points3D.txt rows == downsampled colored-after cloud points and
+        # carry rgb columns (id x y z r g b 0)
+        lines = (out / "Colmap" / "sparse" / "points3D.txt").read_text().strip().splitlines()
+        hdr = (out / "Colmap" / "colored_merged_after.pcd").read_bytes()[:200]
+        n_pcd = int(
+            [l for l in hdr.decode("ascii", "ignore").splitlines()
+             if l.startswith("POINTS")][0].split()[1]
+        )
+        assert len(lines) == n_pcd > 0
+        cols = lines[0].split()
+        assert len(cols) == 8
+        rgb = np.array([l.split()[4:7] for l in lines], dtype=int)
+        assert rgb.min() >= 0 and rgb.max() <= 255 and rgb.max() > 0
+        # images.txt: M pose lines + M (empty obs) lines
+        ilines = (out / "Colmap" / "sparse" / "images.txt").read_text().strip().splitlines()
+        assert len(ilines) == 2 * M
