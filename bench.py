@@ -115,23 +115,41 @@ def bench_lidar_w50():
     numpy_ips = 1.0 / (time.perf_counter() - t0)
 
     # ---- FLOP accounting of the per-iteration evaluation ----
+    # the eval is timed as a REPS-deep chained device loop so the remote
+    # dispatch/fetch floor (~25 ms through the axon tunnel) amortizes away
     mfu = {}
     try:
         from global_lvba_tpu.solver.lm import _total_cgh
 
-        fn = jax.jit(lambda R, p: _total_cgh(buckets, R, p, W))
         R0, p0 = inits[0]
-        compiled = fn.lower(R0, p0).compile()
-        ca = compiled.cost_analysis()
+        fn1 = jax.jit(lambda R, p: _total_cgh(buckets, R, p, W))
+        ca = fn1.lower(R0, p0).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        _sync(fn(R0, p0))
-        reps = 10
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _sync(fn(R0, p0))
-        dt_eval = (time.perf_counter() - t0) / reps
+
+        REPS = 20
+
+        @jax.jit
+        def eval_loop(R, p):
+            def body(_i, carry):
+                R_, p_, acc = carry
+                r, g, H = _total_cgh(buckets, R_, p_, W)
+                eps = r * jnp.asarray(1e-30, R_.dtype)  # chain, defeat CSE
+                return (R_ + eps, p_ + eps, acc + r)
+
+            _, _, acc = jax.lax.fori_loop(
+                0, REPS, body, (R, p, jnp.zeros((), R.dtype))
+            )
+            return acc
+
+        np.asarray(eval_loop(R0, p0))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(eval_loop(R0, p0))
+            ts.append(time.perf_counter() - t0)
+        dt_eval = min(ts) / REPS
         peak_tflops = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
         achieved = flops / dt_eval / 1e12
         mfu = {
@@ -225,7 +243,9 @@ def bench_visual_m200():
     obs_cam = []
     obs_pt = []
     for q in range(P):
-        base = rng.integers(0, M - OBS_PER_PT)
+        # inclusive upper bound: every camera (incl. M-1) gets observations,
+        # else its Schur block is exactly singular
+        base = rng.integers(0, M - OBS_PER_PT + 1)
         for d in range(OBS_PER_PT):
             obs_cam.append(base + d)
             obs_pt.append(q)

@@ -132,17 +132,51 @@ def match_all_pairs(
     distmax: float = 0.7,
     ratiomax: float = 0.8,
     min_matches: int = 0,
+    chunk: int = 16,
 ) -> Dict[Tuple[int, int], np.ndarray]:
     """Match the given image pairs (the reference matches all O(N²) pairs,
-    lvba_system.cpp:462-466).  Descriptors upload to device once; per-pair
-    work reuses the resident arrays (important when the device sits behind
-    a network tunnel)."""
+    lvba_system.cpp:462-466).
+
+    Descriptors upload to device once.  When every image carries the same
+    (K, D) slot shape (the built-in SIFT path), pairs are matched in
+    vmapped chunks — one device dispatch per `chunk` pairs instead of per
+    pair, which matters when each dispatch crosses a network tunnel
+    (~25 ms floor measured).  Mixed shapes fall back to per-pair calls.
+    """
     dev_d = [jax.device_put(jnp.asarray(d, jnp.float32)) for d in descs]
     dev_v = [jax.device_put(jnp.asarray(v)) for v in valids]
     out: Dict[Tuple[int, int], np.ndarray] = {}
+    pairs = [
+        (i, j) for (i, j) in pairs
+        if descs[i].shape[0] > 0 and descs[j].shape[0] > 0
+    ]
+    same_shape = len({d.shape for d in descs}) == 1 if descs else False
+    if same_shape and len(pairs) > 1:
+        d_all = jnp.stack(dev_d)
+        v_all = jnp.stack(dev_v)
+        vmatch = jax.jit(
+            jax.vmap(
+                lambda a, b: match_pair(
+                    d_all[a], v_all[a], d_all[b], v_all[b], distmax, ratiomax
+                )
+            )
+        )
+        for s in range(0, len(pairs), chunk):
+            block = pairs[s : s + chunk]
+            # pad the chunk to a fixed size so one executable serves all
+            padded = block + [block[-1]] * (chunk - len(block))
+            ia = jnp.asarray([p[0] for p in padded], jnp.int32)
+            ib = jnp.asarray([p[1] for p in padded], jnp.int32)
+            jj_c, ok_c = vmatch(ia, ib)
+            jj_c = np.asarray(jj_c)
+            ok_c = np.asarray(ok_c)
+            for bi, (i, j) in enumerate(block):
+                ii = np.flatnonzero(ok_c[bi])
+                m = np.stack([ii, jj_c[bi][ii]], axis=-1).astype(np.int32)
+                if m.shape[0] > min_matches:
+                    out[(i, j)] = m
+        return out
     for (i, j) in pairs:
-        if descs[i].shape[0] == 0 or descs[j].shape[0] == 0:
-            continue
         jj, ok = match_pair(dev_d[i], dev_v[i], dev_d[j], dev_v[j], distmax, ratiomax)
         jj = np.asarray(jj)
         ok = np.asarray(ok)

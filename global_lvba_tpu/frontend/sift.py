@@ -81,20 +81,20 @@ def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return x[0, 0]
 
 
-def _toeplitz_gauss(n: int, sigma: float, dtype=jnp.float32) -> jnp.ndarray:
+def _toeplitz_gauss_np(n: int, sigma: float) -> np.ndarray:
     """(n, n) banded Toeplitz matrix of a truncated, globally-normalized 1-D
-    Gaussian — zero-padding 'SAME' convolution as a dense matmul operand."""
+    Gaussian — zero-padding 'SAME' convolution as a dense matmul operand.
+
+    Built in numpy so it traces as a jit-time CONSTANT: constructing it on
+    device (iota + exp over n^2 elements per level) measured ~50 ms/image,
+    dwarfing the matmuls it feeds."""
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    d = i - j
-    x = d.astype(dtype)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = jnp.where(jnp.abs(d) <= radius, k, 0.0)
-    # normalize by the full 1-D kernel sum (matches _gauss_kernel1d)
+    d = np.arange(n)[:, None] - np.arange(n)[None, :]
+    k = np.exp(-0.5 * (d.astype(np.float64) / sigma) ** 2)
+    k[np.abs(d) > radius] = 0.0
     t = np.arange(-radius, radius + 1, dtype=np.float64)
-    norm = float(np.exp(-0.5 * (t / sigma) ** 2).sum())
-    return k / norm
+    k /= np.exp(-0.5 * (t / sigma) ** 2).sum()
+    return k.astype(np.float32)
 
 
 def _gauss_levels_matmul(base: jnp.ndarray, sigmas) -> jnp.ndarray:
@@ -102,8 +102,8 @@ def _gauss_levels_matmul(base: jnp.ndarray, sigmas) -> jnp.ndarray:
     MXU matmuls (HIGHEST precision: DoG thresholds at the 1e-2 scale do not
     survive bf16 accumulation)."""
     H, W = base.shape
-    Tv = jnp.stack([_toeplitz_gauss(H, s) for s in sigmas])
-    Th = jnp.stack([_toeplitz_gauss(W, s) for s in sigmas])
+    Tv = jnp.asarray(np.stack([_toeplitz_gauss_np(H, s) for s in sigmas]))
+    Th = jnp.asarray(np.stack([_toeplitz_gauss_np(W, s) for s in sigmas]))
     with jax.default_matmul_precision("highest"):
         t = jnp.einsum("lyk,kx->lyx", Tv, base)
         return jnp.einsum("lyx,lxw->lyw", t, Th)
@@ -155,15 +155,18 @@ def _extract_octave(
     cand = cand & bm[None]
 
     score = jnp.where(cand, jnp.abs(dog), 0.0)
-    flat = score.reshape(-1)
     k = kp_per_octave
+    # reduce over the scale axis first (a pixel rarely hosts extrema at two
+    # scales; keeping only the strongest matches SiftGPU's per-pixel output)
+    # so the top-k scans H*W elements instead of (S+2)*H*W
+    px_max = jnp.max(score, axis=0)              # (H, W)
+    px_arg = jnp.argmax(score, axis=0)           # (H, W)
     # TPU-native partial top-k (recall >= 0.95): candidates are a sparse set
     # and the exact top_k over the full score map was the hottest single op
-    top_val, top_idx = jax.lax.approx_max_k(flat, k)
-    s_idx = top_idx // (Hh * Ww)
-    rem = top_idx % (Hh * Ww)
-    yy = rem // Ww
-    xx = rem % Ww
+    top_val, top_idx = jax.lax.approx_max_k(px_max.reshape(-1), k)
+    yy = top_idx // Ww
+    xx = top_idx % Ww
+    s_idx = px_arg[yy, xx]
     valid = top_val > 0
 
     # quadratic refinement: one Newton step over (x, y, s)
@@ -182,9 +185,23 @@ def _extract_octave(
         dxy = 0.25 * (d(0, 1, 1) - d(0, 1, -1) - d(0, -1, 1) + d(0, -1, -1))
         dxs = 0.25 * (d(1, 0, 1) - d(1, 0, -1) - d(-1, 0, 1) + d(-1, 0, -1))
         dys = 0.25 * (d(1, 1, 0) - d(1, -1, 0) - d(-1, 1, 0) + d(-1, -1, 0))
-        Hm = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
-        Hm = Hm + 1e-9 * jnp.eye(3)
-        off = -jnp.linalg.solve(Hm, g)
+        # Cramer's-rule 3x3 solve (batched jnp.linalg.solve lowers poorly
+        # for tiny systems on TPU)
+        a11, a12, a13 = dxx + 1e-9, dxy, dxs
+        a22, a23, a33 = dyy + 1e-9, dys, dss + 1e-9
+        c11 = a22 * a33 - a23 * a23
+        c12 = a13 * a23 - a12 * a33
+        c13 = a12 * a23 - a13 * a22
+        det = a11 * c11 + a12 * c12 + a13 * c13
+        det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        c22 = a11 * a33 - a13 * a13
+        c23 = a12 * a13 - a11 * a23
+        c33 = a11 * a22 - a12 * a12
+        off = -jnp.stack([
+            c11 * g[0] + c12 * g[1] + c13 * g[2],
+            c12 * g[0] + c22 * g[1] + c23 * g[2],
+            c13 * g[0] + c23 * g[1] + c33 * g[2],
+        ]) / det
         off = jnp.clip(off, -0.5, 0.5)
         val = d(0, 0, 0) + 0.5 * jnp.dot(g, off)
         # edge rejection on the 2x2 spatial Hessian

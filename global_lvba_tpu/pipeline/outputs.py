@@ -95,14 +95,22 @@ def colorize_clouds(
     Returns (N, 6): xyz + rgb (0-255)."""
     H, W = cam.height, cam.width
     out = []
+    # world-transform every frame ONCE; per image the ±half_w window is a
+    # contiguous slice of the concatenated array (lidar_times sorted) —
+    # the old per-image transform+concat was O(M * window) re-work
+    F = len(clouds)
+    world_all = np.concatenate(
+        [(R_body[i] @ clouds[i].T).T + p_body[i] for i in range(F)]
+    ).astype(np.float64)
+    sizes = np.array([c.shape[0] for c in clouds], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    lt = np.asarray(lidar_times)
     for k in range(len(image_times)):
-        sel = np.abs(lidar_times - image_times[k]) <= half_w
-        idxs = np.flatnonzero(sel)
-        if idxs.size == 0:
+        lo = int(np.searchsorted(lt, image_times[k] - half_w, side="left"))
+        hi = int(np.searchsorted(lt, image_times[k] + half_w, side="right"))
+        if hi <= lo:
             continue
-        pts_w = np.concatenate(
-            [ (R_body[i] @ clouds[i].T).T + p_body[i] for i in idxs ]
-        )
+        pts_w = world_all[offsets[lo] : offsets[hi]]
         Xc = pts_w @ Rcw[k].T + tcw[k]
         Z = Xc[:, 2]
         ok = Z > 1e-12

@@ -35,19 +35,24 @@ def extract_images(
     images: Sequence[np.ndarray],
     params: Optional[SiftParams] = None,
     batch: int = 4,
+    device_descs: bool = True,
 ):
     """Run device SIFT on the images; returns (kps, descs, valids).
 
     Same-shape images are processed in vmapped batches of `batch` — one
-    device program per batch instead of per image."""
+    device program per batch instead of per image.  With
+    device_descs=True (default) descriptors and validity masks stay
+    DEVICE-resident for the matcher — fetching 2048x128 f32 descriptors
+    per image through a tunneled device link costs more than the
+    extraction itself; only the (small) keypoint coordinates come home."""
     import jax
     import jax.numpy as jnp
 
     params = params or SiftParams()
     n = len(images)
     kps: List[np.ndarray] = [None] * n
-    descs: List[np.ndarray] = [None] * n
-    valids: List[np.ndarray] = [None] * n
+    descs: List = [None] * n
+    valids: List = [None] * n
 
     batched = jax.jit(
         jax.vmap(lambda im: extract_sift(im, params)), static_argnums=()
@@ -67,12 +72,12 @@ def extract_images(
             f = extract_sift(stack[0], params)
             feats = jax.tree_util.tree_map(lambda x: x[None], f)
         xy = np.asarray(feats.xy, np.float32)
-        dd = np.asarray(feats.desc, np.float32)
         vv = np.asarray(feats.valid)
+        dd = feats.desc if device_descs else np.asarray(feats.desc, np.float32)
         for k in range(i, j):
             kps[k] = xy[k - i]
             descs[k] = dd[k - i]
-            valids[k] = vv[k - i]
+            valids[k] = vv[k - i] if not device_descs else feats.valid[k - i]
         done = j
         progress_bar(done, n)
         i = j
@@ -99,7 +104,7 @@ def extract_and_match_sift(
     kps_out: List[np.ndarray] = []
     remaps: List[np.ndarray] = []
     for k in range(M):
-        v = valids[k]
+        v = np.asarray(valids[k])
         remap = np.full(v.shape[0], -1, np.int64)
         remap[v] = np.arange(v.sum())
         remaps.append(remap)

@@ -93,7 +93,7 @@ def lm_damping_iter(
     v_init: float = 2.0,
     rel_tol: float = 1e-6,
     h_sharding=None,
-    reduced_solver: str = "lu",
+    reduced_solver: str = "auto",
 ) -> LMResult:
     """Run damped LM over plane-eigen factor buckets.
 
@@ -102,9 +102,10 @@ def lm_damping_iter(
     eagerly would dispatch the pre-loop evaluation op-by-op, which through
     a remote-device link costs orders of magnitude more than the compute.
 
-    reduced_solver: "lu" (replicated direct solve; right for small W) or
+    reduced_solver: "lu" (replicated direct solve; right for small W),
     "cg" (block-Jacobi preconditioned CG whose matvec distributes over the
-    `h_sharding` row sharding; the large-W scaling path — solver/dist_solve.py).
+    `h_sharding` row sharding; the large-W scaling path — solver/dist_solve.py),
+    or "auto" (CG once 6W >= 1536).
     """
     return _lm_jitted(
         tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
@@ -150,9 +151,15 @@ def _lm_jitted(
         jnp.zeros((), jnp.bool_),
     )
 
+    solver = reduced_solver
+    if solver == "auto":
+        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
+        # steps); preconditioned CG wins once the state is large
+        solver = "cg" if 6 * W >= 1536 else "lu"
+
     def body_fn(_i, s):
         R, p, u, v, res1, g, H, it, done = s
-        if reduced_solver == "cg":
+        if solver == "cg":
             from .dist_solve import solve_damped_cg
 
             dx = solve_damped_cg(H, g, u, h_sharding=h_sharding)

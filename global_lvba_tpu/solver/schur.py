@@ -55,8 +55,13 @@ class VisualBAProblem:
     fix_first: bool = True
     # "lu": replicated direct solve of the reduced camera system; "cg":
     # block-Jacobi preconditioned CG whose matvec row-shards over the mesh
-    # (solver/dist_solve.py) — the large-M scaling path
-    reduced_solver: str = "lu"
+    # (solver/dist_solve.py) — the large-M scaling path; "auto" picks CG
+    # once 6M >= 1024 (TPU LU lowers poorly at size)
+    reduced_solver: str = "auto"
+    # when the observation-pair list exceeds this, the Schur scatter runs
+    # as a lax.scan over fixed-size chunks so peak memory is bounded at
+    # pair_chunk x 36 floats instead of O(sum of track-length^2)
+    pair_chunk: int = 1 << 18
 
 
 class VisualBAResult(NamedTuple):
@@ -101,18 +106,18 @@ def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
 
 
 def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
-               s_sharding=None):
+               s_sharding=None, pairs_sharded=False):
     """One damped normal-equation build + solve. Returns (dc, dX, q1).
 
     Traced under HIGHEST matmul precision — the TPU bf16 default corrupts
     the Schur assembly and the reduced LU solve (see solver/lm.py note)."""
     with jax.default_matmul_precision("highest"):
         return _normal_eq_inner(prob, consts, pair_a, pair_b, R, t, X, u,
-                                s_sharding)
+                                s_sharding, pairs_sharded)
 
 
 def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
-                     s_sharding=None):
+                     s_sharding=None, pairs_sharded=False):
     cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
 
@@ -160,9 +165,36 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
     )
 
     # Schur matrix: diag Hcc − Σ_pairs Y_a W_bᵀ
-    pair_blocks = -jnp.einsum("qmk,qnk->qmn", Y[pair_a], W[pair_b])
-    pair_idx = obs_cam[pair_a].astype(jnp.int32) * M + obs_cam[pair_b].astype(jnp.int32)
-    S = jax.ops.segment_sum(pair_blocks, pair_idx, num_segments=M * M)
+    Q = pair_a.shape[0]
+    if Q > prob.pair_chunk and not pairs_sharded:
+        # bounded-memory path: scan fixed-size pair chunks.  Pairs pad with
+        # index O -> a virtual all-zero observation row, so padding adds an
+        # exactly-zero block.
+        chunk = prob.pair_chunk
+        nc = -(-Q // chunk)
+        pad = nc * chunk - Q
+        Ye = jnp.concatenate([Y, jnp.zeros((1,) + Y.shape[1:], Y.dtype)])
+        We = jnp.concatenate([W, jnp.zeros((1,) + W.shape[1:], W.dtype)])
+        oce = jnp.concatenate([obs_cam, jnp.zeros((1,), obs_cam.dtype)])
+        O_pad = jnp.asarray(Y.shape[0], pair_a.dtype)
+        pa2 = jnp.concatenate([pair_a, jnp.full((pad,), O_pad, pair_a.dtype)])
+        pb2 = jnp.concatenate([pair_b, jnp.full((pad,), O_pad, pair_b.dtype)])
+        pa2 = pa2.reshape(nc, chunk)
+        pb2 = pb2.reshape(nc, chunk)
+
+        def body(S_acc, ab):
+            a, b = ab
+            blk = -jnp.einsum("qmk,qnk->qmn", Ye[a], We[b])
+            pidx = oce[a].astype(jnp.int32) * M + oce[b].astype(jnp.int32)
+            return S_acc + jax.ops.segment_sum(blk, pidx, num_segments=M * M), None
+
+        S, _ = jax.lax.scan(
+            body, jnp.zeros((M * M, 6, 6), Y.dtype), (pa2, pb2)
+        )
+    else:
+        pair_blocks = -jnp.einsum("qmk,qnk->qmn", Y[pair_a], W[pair_b])
+        pair_idx = obs_cam[pair_a].astype(jnp.int32) * M + obs_cam[pair_b].astype(jnp.int32)
+        S = jax.ops.segment_sum(pair_blocks, pair_idx, num_segments=M * M)
     S = S.reshape(M, M, 6, 6)
     S = S.at[jnp.arange(M), jnp.arange(M)].add(dHcc)
 
@@ -173,7 +205,10 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
 
     A = jnp.transpose(S, (0, 2, 1, 3)).reshape(M * 6, M * 6)
     rhs = b.reshape(M * 6)
-    if prob.reduced_solver == "cg":
+    solver = prob.reduced_solver
+    if solver == "auto":
+        solver = "cg" if M * 6 >= 1024 else "lu"
+    if solver == "cg":
         # distributed path: A is already damped (dHcc) and made nonsingular
         # by fix_first; CG solves A dc = rhs with zero extra damping
         from .dist_solve import solve_damped_cg
@@ -290,7 +325,8 @@ def solve_visual_ba(
     X = put(np.asarray(X0).astype(dtype), False)
 
     cost = jax.jit(partial(_cost_fn, prob, consts))
-    step = jax.jit(partial(_normal_eq, prob, consts, pa, pb, s_sharding=s_sharding))
+    step = jax.jit(partial(_normal_eq, prob, consts, pa, pb,
+                           s_sharding=s_sharding, pairs_sharded=mesh is not None))
 
     if device_loop and not verbose:
 
@@ -306,7 +342,8 @@ def solve_visual_ba(
             def body(_i, s):
                 R_, t_, X_, u_, v_, c_prev_, it_, done_ = s
                 dc, dX, q1 = _normal_eq(prob, consts, pa, pb, R_, t_, X_, u_,
-                                        s_sharding=s_sharding)
+                                        s_sharding=s_sharding,
+                                        pairs_sharded=mesh is not None)
                 R_t = jnp.matmul(
                     R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
                 )

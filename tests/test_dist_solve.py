@@ -155,3 +155,13 @@ class TestDistSolve:
         r_cg = solve_visual_ba(prob_cg, Rp, tp, X0, max_iters=15)
         assert r_cg.cost < 0.9 * r_cg.cost0
         assert abs(r_cg.cost - r_lu.cost) < 1e-6 * max(r_lu.cost, 1.0)
+        # chunked Schur pair assembly (bounded memory for long tracks)
+        # must match the dense scatter exactly
+        prob_ch = dataclasses.replace(prob, pair_chunk=128)
+        r_ch = solve_visual_ba(prob_ch, Rp, tp, X0, max_iters=15)
+        np.testing.assert_allclose(
+            np.asarray(r_ch.R), np.asarray(r_lu.R), rtol=0, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_ch.X), np.asarray(r_lu.X), rtol=0, atol=1e-9
+        )
