@@ -97,13 +97,42 @@ def _toeplitz_gauss_np(n: int, sigma: float) -> np.ndarray:
     return k.astype(np.float32)
 
 
-def _gauss_levels_matmul(base: jnp.ndarray, sigmas) -> jnp.ndarray:
-    """Blur `base` (H, W) by each sigma at once: (L, H, W) via two batched
-    MXU matmuls (HIGHEST precision: DoG thresholds at the 1e-2 scale do not
-    survive bf16 accumulation)."""
+def _upsample2_matrix_np(n: int) -> np.ndarray:
+    """(2n, n) centered bilinear 2x-upsample operator (matches
+    jax.image.resize method='linear', half-pixel centers, edge clamp)."""
+    i = np.arange(2 * n)
+    src = (i + 0.5) / 2.0 - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    w1 = src - i0
+    U = np.zeros((2 * n, n), dtype=np.float32)
+    c0 = np.clip(i0, 0, n - 1)
+    c1 = np.clip(i0 + 1, 0, n - 1)
+    U[i, c0] += (1.0 - w1).astype(np.float32)
+    U[i, c1] += w1.astype(np.float32)
+    return U
+
+
+def _gauss_levels_matmul(base: jnp.ndarray, sigmas, upsample2: bool = False) -> jnp.ndarray:
+    """Blur `base` (H, W) by each sigma at once: (L, H, W) (or (L, 2H, 2W)
+    with upsample2) via two batched MXU matmuls (HIGHEST precision: DoG
+    thresholds at the 1e-2 scale do not survive bf16 accumulation).
+
+    upsample2 folds the first-octave 2x bilinear upsample INTO the blur
+    operands (T @ U as one jit-time constant): the upsampled image is
+    never materialized and the contraction length halves."""
     H, W = base.shape
-    Tv = jnp.asarray(np.stack([_toeplitz_gauss_np(H, s) for s in sigmas]))
-    Th = jnp.asarray(np.stack([_toeplitz_gauss_np(W, s) for s in sigmas]))
+    if upsample2:
+        Uv = _upsample2_matrix_np(H)
+        Uh = _upsample2_matrix_np(W)
+        Tv = jnp.asarray(np.stack(
+            [_toeplitz_gauss_np(2 * H, s) @ Uv for s in sigmas]
+        ))
+        Th = jnp.asarray(np.stack(
+            [(_toeplitz_gauss_np(2 * W, s) @ Uh).T for s in sigmas]
+        ))
+    else:
+        Tv = jnp.asarray(np.stack([_toeplitz_gauss_np(H, s) for s in sigmas]))
+        Th = jnp.asarray(np.stack([_toeplitz_gauss_np(W, s) for s in sigmas]))
     with jax.default_matmul_precision("highest"):
         t = jnp.einsum("lyk,kx->lyx", Tv, base)
         return jnp.einsum("lyx,lxw->lyw", t, Th)
@@ -226,43 +255,88 @@ def _extract_octave(
     )
 
 
-def _grad_polar(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    dx = jnp.zeros_like(img).at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
-    dy = jnp.zeros_like(img).at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ang = jnp.arctan2(dy, dx)
-    return mag, ang
+_PSZ = 64  # gradient patch size per keypoint; covers the descriptor span
+           # (±2 bins x 3*sigma x sqrt2 ≈ ±27 px at sigma_max = 3.2)
+
+
+def _extract_patches(gauss_int: jnp.ndarray, xy: jnp.ndarray,
+                     scale_idx: jnp.ndarray):
+    """Per-keypoint (PSZ, PSZ) central-difference gradient patches.
+
+    One vmapped dynamic_slice per keypoint replaces the scattered
+    whole-image element gathers of the old formulation (the gathers were
+    ~60% of total extraction time on the chip: TPU gathers are serialized
+    scalar loads, while block slices move whole vector rows).
+
+    Returns (dx (K, PSZ, PSZ), dy, origin (K, 2) patch->octave offset)."""
+    S, H, W = gauss_int.shape
+    P2 = _PSZ + 2
+    if H < P2 or W < P2:
+        # tiny octaves: edge-pad so the fixed-size slice always fits
+        gauss_int = jnp.pad(
+            gauss_int,
+            ((0, 0), (0, max(0, P2 - H)), (0, max(0, P2 - W))),
+            mode="edge",
+        )
+        H, W = max(H, P2), max(W, P2)
+
+    def one(xyk, sk_idx):
+        x0 = jnp.clip(xyk[0].astype(jnp.int32) - _PSZ // 2 - 1, 0, max(W - P2, 0))
+        y0 = jnp.clip(xyk[1].astype(jnp.int32) - _PSZ // 2 - 1, 0, max(H - P2, 0))
+        patch = jax.lax.dynamic_slice(
+            gauss_int, (sk_idx.astype(y0.dtype), y0, x0), (1, P2, P2)
+        )[0]
+        dx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+        dy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+        return dx, dy, jnp.stack([x0 + 1, y0 + 1])
+
+    return jax.vmap(one)(xy, scale_idx)
+
+
+def _sample_grad(dxp, dyp, sx, sy):
+    """Nearest-pixel (dx, dy) at local coords (sx, sy) via one-hot MXU
+    contractions — no gathers.  dxp/dyp: (PSZ, PSZ); sx/sy: (S_,) float."""
+    n = dxp.shape[0]
+    xi = jnp.clip(sx, 0, n - 1).astype(jnp.int32)
+    yi = jnp.clip(sy, 0, n - 1).astype(jnp.int32)
+    ar = jnp.arange(n)
+    OHy = (yi[:, None] == ar).astype(dxp.dtype)          # (S_, n)
+    OHx = (xi[:, None] == ar).astype(dxp.dtype)          # (S_, n)
+    Tdx = jnp.dot(OHy, dxp, preferred_element_type=dxp.dtype)  # (S_, n)
+    Tdy = jnp.dot(OHy, dyp, preferred_element_type=dxp.dtype)
+    dx = jnp.einsum("sc,sc->s", Tdx, OHx)
+    dy = jnp.einsum("sc,sc->s", Tdy, OHx)
+    return dx, dy
 
 
 def _orientations(
-    mag: jnp.ndarray, ang: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
-    scale_idx: jnp.ndarray, params: SiftParams,
+    dxp: jnp.ndarray, dyp: jnp.ndarray, xy_loc: jnp.ndarray,
+    sigma: jnp.ndarray, params: SiftParams,
 ):
-    """Dominant + secondary gradient orientations per keypoint.
+    """Dominant + secondary gradient orientations per keypoint from its
+    gradient patch.
 
     Returns (theta1 (N,), theta2 (N,), has2 (N,)): theta2 is the largest
     strict-local-maximum histogram peak >= 0.8 * max outside the dominant
     bin (Lowe's multi-orientation rule; SiftGPU emits these as duplicated
     keypoints)."""
-    _, H, W = mag.shape
     P = params.patch
     NB = params.ori_bins
 
-    def one(xyk, sk, sk_idx):
+    def one(dxk, dyk, xyk, sk):
         radius = 1.5 * sk * 2.0
         lin = (jnp.arange(P) - (P - 1) / 2.0) / ((P - 1) / 2.0)  # [-1, 1]
         gy, gx = jnp.meshgrid(lin * radius, lin * radius, indexing="ij")
-        sx = jnp.clip(xyk[0] + gx, 0, W - 1)
-        sy = jnp.clip(xyk[1] + gy, 0, H - 1)
-        xi = sx.astype(jnp.int32)
-        yi = sy.astype(jnp.int32)
-        m = mag[sk_idx, yi, xi]
-        a = ang[sk_idx, yi, xi]
-        w = jnp.exp(-(gx * gx + gy * gy) / (2.0 * (1.5 * sk) ** 2))
+        dx, dy = _sample_grad(
+            dxk, dyk, (xyk[0] + gx).reshape(-1), (xyk[1] + gy).reshape(-1)
+        )
+        m = jnp.sqrt(dx * dx + dy * dy)
+        a = jnp.arctan2(dy, dx)
+        w = jnp.exp(-(gx * gx + gy * gy) / (2.0 * (1.5 * sk) ** 2)).reshape(-1)
         bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * NB).astype(jnp.int32) % NB
         # scatter-free histogram: one-hot contraction (TPU scatters serialize)
-        onehot = (bins.reshape(-1)[:, None] == jnp.arange(NB)).astype(m.dtype)
-        hist = jnp.einsum("sb,s->b", onehot, (m * w).reshape(-1))
+        onehot = (bins[:, None] == jnp.arange(NB)).astype(m.dtype)
+        hist = jnp.einsum("sb,s->b", onehot, m * w)
         # circular smooth x2
         for _ in range(2):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -289,42 +363,35 @@ def _orientations(
         theta2 = peak_theta(ob2)
         return theta1, theta2, has2
 
-    return jax.vmap(one)(xy, sigma, scale_idx)
+    return jax.vmap(one)(dxp, dyp, xy_loc, sigma)
 
 
 def _descriptors(
-    mag: jnp.ndarray, ang: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
-    scale_idx: jnp.ndarray, theta: jnp.ndarray, params: SiftParams,
+    dxp: jnp.ndarray, dyp: jnp.ndarray, xy_loc: jnp.ndarray,
+    sigma: jnp.ndarray, theta: jnp.ndarray, params: SiftParams,
 ):
-    """128-d descriptor per (keypoint, orientation).
-
-    mag/ang: (S, H, W) gradient images of the octave's interior scales;
-    each keypoint gathers from its own scale via scale_idx (N,)."""
-    _, H, W = mag.shape
+    """128-d descriptor per (keypoint, orientation) from its gradient patch."""
     P = params.patch
 
-    def one(xyk, sk, sk_idx, th):
+    def one(dxk, dyk, xyk, sk, th):
         # rotated 16x16 grid over 4x4 spatial bins
         hist_w = 3.0 * sk          # bin width in octave pixels
         u = (jnp.arange(P) + 0.5) / P * 4.0 - 2.0   # bin coords in [-2, 2)
         gu, gv = jnp.meshgrid(u, u, indexing="ij")
         ct, st = jnp.cos(th), jnp.sin(th)
-        px = xyk[0] + (gv * ct - gu * st) * hist_w
-        py = xyk[1] + (gv * st + gu * ct) * hist_w
-        pxc = jnp.clip(px, 0, W - 1)
-        pyc = jnp.clip(py, 0, H - 1)
-        xi = pxc.astype(jnp.int32)
-        yi = pyc.astype(jnp.int32)
-        m2 = mag[sk_idx, yi, xi]
-        a2 = ang[sk_idx, yi, xi] - th
-        wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2))
+        px = (xyk[0] + (gv * ct - gu * st) * hist_w).reshape(-1)
+        py = (xyk[1] + (gv * st + gu * ct) * hist_w).reshape(-1)
+        dx, dy = _sample_grad(dxk, dyk, px, py)
+        m2 = jnp.sqrt(dx * dx + dy * dy)
+        a2 = jnp.arctan2(dy, dx) - th
+        wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2)).reshape(-1)
         bu = gu + 2.0 - 0.5
         bv = gv + 2.0 - 0.5
         ob8 = (a2 + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
-        contrib = (m2 * wgt).reshape(-1)
+        contrib = m2 * wgt
         buf = bu.reshape(-1)
         bvf = bv.reshape(-1)
-        bof = ob8.reshape(-1)
+        bof = ob8
         # scatter-free trilinear binning: the hat-function weights are
         # separable, so the (4, 4, 8) bins accumulate as one einsum over
         # dense per-axis weight tables instead of 8 scattered adds
@@ -341,7 +408,7 @@ def _descriptors(
         d = d / (jnp.linalg.norm(d) + 1e-12)
         return d
 
-    return jax.vmap(one)(xy, sigma, scale_idx, theta)
+    return jax.vmap(one)(dxp, dyp, xy_loc, sigma, theta)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -350,8 +417,10 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
     S = params.n_scales
     base = image
     first_scale = 1.0
-    if params.first_octave == -1:
-        base = _resize_double(image)
+    upsample_first = params.first_octave == -1
+    if upsample_first:
+        # the 2x upsample folds into the first octave's blur operands —
+        # no resized image is materialized
         first_scale = 0.5
     # assumed camera sigma 0.5 (x2 if upsampled)
     sigma_init = 0.5 / first_scale
@@ -379,32 +448,35 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
         for s in range(s_start, S + 3):
             sig_abs = params.sigma0 * 2 ** (s / S)
             incs.append(math.sqrt(max(sig_abs ** 2 - base_sigma ** 2, 0.01)))
-        levels = _gauss_levels_matmul(octave_img, incs)
+        levels = _gauss_levels_matmul(
+            octave_img, incs, upsample2=(o == 0 and upsample_first)
+        )
         if lvl0_from_base:
             gauss = levels
         else:
             gauss = jnp.concatenate([octave_img[None], levels])
         xy, s_idx, sigma_o, resp, valid = _extract_octave(gauss, params, kp_per_octave)
 
-        # orientation + descriptor: stacked interior-scale gradient images,
-        # each keypoint samples its own scale (no per-scale redundancy)
-        mags, angs = jax.vmap(_grad_polar)(gauss[1 : S + 1])
+        # orientation + descriptor: per-keypoint gradient patches sliced
+        # from the keypoint's own scale, sampled via one-hot contractions
         sclamp = jnp.clip(s_idx - 1, 0, S - 1)
-        theta1, theta2, has2 = _orientations(
-            mags, angs, xy, sigma_o, sclamp, params
-        )
+        dxp, dyp, origin = _extract_patches(gauss[1 : S + 1], xy, sclamp)
+        xy_loc = xy - origin.astype(xy.dtype)
+        theta1, theta2, has2 = _orientations(dxp, dyp, xy_loc, sigma_o, params)
         if params.n_orientations >= 2:
             # duplicate keypoints at secondary orientation peaks (0.8 rule)
             xy_d = jnp.concatenate([xy, xy])
             sig_d = jnp.concatenate([sigma_o, sigma_o])
-            scl_d = jnp.concatenate([sclamp, sclamp])
             th_d = jnp.concatenate([theta1, theta2])
-            desc_d = _descriptors(mags, angs, xy_d, sig_d, scl_d, th_d, params)
+            desc_d = _descriptors(
+                jnp.concatenate([dxp, dxp]), jnp.concatenate([dyp, dyp]),
+                jnp.concatenate([xy_loc, xy_loc]), sig_d, th_d, params,
+            )
             valid_d = jnp.concatenate([valid, valid & has2])
             resp_d = jnp.concatenate([resp, resp])
         else:
             th_d = theta1
-            desc_d = _descriptors(mags, angs, xy, sigma_o, sclamp, theta1, params)
+            desc_d = _descriptors(dxp, dyp, xy_loc, sigma_o, theta1, params)
             xy_d, sig_d, valid_d, resp_d = xy, sigma_o, valid, resp
 
         all_xy.append((xy_d + 0.5) * scale - 0.5)
