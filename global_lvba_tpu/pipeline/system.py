@@ -169,6 +169,22 @@ class LvbaSystem:
             # no imagery: emit the sparse model from track points only
             write_colmap_sparse(cdir, res.Rcw, res.tcw, res.points)
             return
+        # diagnostic imagery (reproj overlays + tracked-feature images,
+        # lvba_system.cpp:1672-1837 / 1340-1420)
+        from .outputs import save_reprojection_overlays, save_track_feature_images
+
+        oc, op, ouv = res.track_obs
+        save_reprojection_overlays(
+            self.out_dir / "reproj", self.ds.cam, images,
+            oc, op, ouv,
+            res.points_pre, res.points,
+            res.Rcw_orig, res.tcw_orig, res.Rcw, res.tcw,
+        )
+        if res.keypoints is not None and res.used_kp_mask is not None:
+            save_track_feature_images(
+                self.out_dir / "track_features", self.ds.cam, images,
+                res.keypoints, res.used_kp_mask,
+            )
         # undistorted images for the COLMAP model (lvba_system.cpp:2026-2030)
         from .outputs import undistort_image
         import cv2

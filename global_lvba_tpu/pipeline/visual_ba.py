@@ -56,6 +56,11 @@ class VisualBAResultFull:
     mean_reproj_pre: float
     mean_reproj_post: float
     stats: dict
+    # per image: all keypoints (K, 2) and which ended up in used tracks —
+    # feeds the track_features/ diagnostic imagery
+    # (saveTrackFeaturesOnImages, lvba_system.cpp:1340-1420)
+    keypoints: Optional[list] = None
+    used_kp_mask: Optional[list] = None
 
 
 def build_anchor_plane_lookup(
@@ -192,6 +197,13 @@ def run_visual_ba(
     obs_cam = ts.obs_img[use[ui], oi].astype(np.int32)
     obs_pt = ui.astype(np.int32)
     obs_uv = ts.obs_uv[use[ui], oi].astype(np.float64)
+    # per-image used-keypoint mask for the track_features/ imagery
+    kp_used = ts.obs_kp[use[ui], oi]
+    used_kp_mask = [np.zeros(k.shape[0], bool) for k in keypoints]
+    for m in range(len(keypoints)):
+        sel = obs_cam == m
+        if np.any(sel):
+            used_kp_mask[m][kp_used[sel]] = True
     stats["observations"] = int(obs_cam.shape[0])
 
     # 7. joint solve
@@ -243,4 +255,6 @@ def run_visual_ba(
         mean_reproj_pre=pre,
         mean_reproj_post=post,
         stats=stats,
+        keypoints=[np.asarray(k, np.float32) for k in keypoints],
+        used_kp_mask=used_kp_mask,
     )

@@ -158,6 +158,9 @@ class TestFullPipeline:
             assert (out / "Colmap" / "images" / f"{k}.jpg").exists()
         depth_files = list((out / "depth").glob("*.png"))
         assert len(depth_files) == M
+        # diagnostic imagery (reproj overlays; track_features on fresh runs)
+        assert len(list((out / "reproj").glob("*.png"))) > 0
+        assert len(list((out / "track_features").glob("*.png"))) == M
 
         # points3D.txt rows == downsampled colored-after cloud points and
         # carry rgb columns (id x y z r g b 0)
