@@ -123,11 +123,13 @@ def lm_damping_iter_sharded(
     elif "frames" in mesh.axis_names:
         h_sharding = NamedSharding(mesh, P(None, "frames"))
 
+    # buckets are ARGUMENTS, not closure constants: in multi-process mode
+    # closing over arrays that span non-addressable devices is an error
     @jax.jit
-    def run(R, p):
+    def run(bk, R, p):
         return lm_damping_iter(
-            sharded, R, p, max_iters=max_iters, h_sharding=h_sharding,
+            bk, R, p, max_iters=max_iters, h_sharding=h_sharding,
             reduced_solver=reduced_solver,
         )
 
-    return run(R0, p0)
+    return run(tuple(sharded), R0, p0)
