@@ -62,6 +62,27 @@ class TestMatching:
         )
         assert m.shape[0] > 100
 
+    def test_multi_orientation_no_match_regression(self):
+        """A/B: duplicating keypoints at 0.8-peak orientations (SiftGPU
+        behavior) must not LOSE matches on a rotated pair vs the
+        single-orientation extractor."""
+        img1 = textured_image(seed=5)
+        img2 = ndi.rotate(img1, 14.0, reshape=False, order=3, mode="nearest")
+
+        def run(n_ori):
+            p = PARAMS._replace(n_orientations=n_ori)
+            f1 = extract_sift(jnp.asarray(img1), p)
+            f2 = extract_sift(jnp.asarray(img2), p)
+            m = match_pair_arrays(
+                np.asarray(f1.desc), np.asarray(f2.desc),
+                np.asarray(f1.valid), np.asarray(f2.valid),
+            )
+            return m.shape[0]
+
+        n1 = run(1)
+        n2 = run(2)
+        assert n2 >= 0.9 * n1, (n1, n2)
+
     def test_unrelated_images_few_matches(self):
         img1 = textured_image(seed=2)
         img2 = textured_image(seed=3)
