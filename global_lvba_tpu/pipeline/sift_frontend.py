@@ -84,6 +84,63 @@ def extract_images(
     return kps, descs, valids
 
 
+def extract_images_pipelined(
+    paths: Sequence,
+    width: int,
+    height: int,
+    params: Optional[SiftParams] = None,
+    batch: int = 4,
+    decode_workers: int = 4,
+):
+    """Pipelined frontend extraction: host-thread image decode overlapped
+    with asynchronously-dispatched device extraction batches.
+
+    The pipeline-staging axis of SURVEY.md §2.3 item 4 at the frontend:
+    while the device runs extraction batch k, host threads decode the
+    images of batch k+1, and NO device->host fetch happens until every
+    batch is dispatched (each interim fetch would stall the device queue
+    for a full transport round trip).  The last partial batch is padded
+    to `batch` so one vmapped executable serves the whole sequence.
+    Returns (kps, descs, valids) with descriptors device-resident.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    params = params or SiftParams()
+    n = len(paths)
+    batched = jax.jit(jax.vmap(lambda im: extract_sift(im, params)))
+
+    feats_batches = []
+    with ThreadPoolExecutor(max_workers=decode_workers) as ex:
+        futs = [ex.submit(load_gray_image, p, width, height) for p in paths]
+        i = 0
+        while i < n:
+            j = min(i + batch, n)
+            stack = np.stack([futs[k].result() for k in range(i, j)])
+            if j - i < batch:
+                stack = np.concatenate(
+                    [stack, np.zeros((batch - (j - i),) + stack.shape[1:],
+                                     stack.dtype)]
+                )
+            feats = batched(jnp.asarray(stack, jnp.float32))
+            feats_batches.append((i, j, feats))
+            progress_bar(j, n)
+            i = j
+
+    kps: List[np.ndarray] = [None] * n
+    descs: List = [None] * n
+    valids: List = [None] * n
+    for (i, j, feats) in feats_batches:
+        xy = np.asarray(feats.xy, np.float32)
+        for k in range(i, j):
+            kps[k] = xy[k - i]
+            descs[k] = feats.desc[k - i]
+            valids[k] = feats.valid[k - i]
+    return kps, descs, valids
+
+
 def extract_and_match_sift(
     ds,                      # io.dataset.Dataset
     cfg: LvbaConfig,
@@ -93,11 +150,10 @@ def extract_and_match_sift(
 
     Returns (keypoints (K, 2) per image restricted to valid slots, matches).
     """
-    imgs = [
-        load_gray_image(p, ds.cam.width, ds.cam.height) for p in ds.image_paths
-    ]
-    kps, descs, valids = extract_images(imgs, params)
-    M = len(imgs)
+    kps, descs, valids = extract_images_pipelined(
+        ds.image_paths, ds.cam.width, ds.cam.height, params
+    )
+    M = len(kps)
     pairs = [(i, j) for i in range(M) for j in range(i + 1, M)]
     matches = match_all_pairs(descs, valids, pairs)
     # compact to valid keypoints only, remapping match indices

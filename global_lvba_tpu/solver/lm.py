@@ -133,9 +133,6 @@ def _lm_jitted(
         r, g, H = _total_cgh(buckets, R, p, W, h_sharding)
         return r / g_size_f, g, H
 
-    def cost(R, p):
-        return _total_cost(buckets, R, p) / g_size_f
-
     res1_0, g_0, H_0 = cgh(R0, p0)
 
     # state: (R, p, u, v, res1, g, H, it, done)
@@ -169,7 +166,16 @@ def _lm_jitted(
         R_t, p_t = boxplus_pose(R, p, dxp)
         d = jnp.diagonal(H)
         q1 = 0.5 * jnp.dot(dx, u * d * dx - g) / g_size_f
-        res2 = cost(R_t, p_t)
+
+        # ONE factor evaluation per iteration, at the TRIAL point: its
+        # residual is the acceptance test, and on acceptance its (g, H)
+        # are exactly the next iteration's normal equations; on rejection
+        # the carried (g, H) of the unchanged state are kept.  This beats
+        # both the reference's is_calc_hess split (residual-only on reject
+        # + full Hessian on accept, bavoxel.hpp:686-742) and a lax.cond
+        # (which costs ~100x the evaluation inside a TPU loop): every
+        # iteration does exactly one fused pass, never two.
+        res2, g_t, H_t = cgh(R_t, p_t)
         q = res1 - res2
         accept = q > 0
 
@@ -180,14 +186,8 @@ def _lm_jitted(
 
         R_new = jnp.where(accept, R_t, R)
         p_new = jnp.where(accept, p_t, p)
-
-        # Recompute the normal equations at the (possibly unchanged) state.
-        # The reference skips this after rejected steps (is_calc_hess,
-        # bavoxel.hpp:688-689) — but recomputing at an unchanged state is
-        # mathematically a no-op, and a lax.cond here costs ~100x the whole
-        # evaluation on TPU (cond inside while_loop defeats the scheduler),
-        # so unconditional recomputation is both correct and far faster.
-        _, g_new, H_new = cgh(R_new, p_new)
+        g_new = jnp.where(accept, g_t, g)
+        H_new = jnp.where(accept, H_t, H)
         res1_new = jnp.where(accept, res2, res1)
 
         converged = jnp.abs(res1 - res2) / jnp.where(res1 == 0, 1.0, jnp.abs(res1)) < rel_tol

@@ -35,7 +35,6 @@ from ..geometry.so3 import exp_so3
 from ..factors.reprojection import (
     plane_point_batch,
     reproj_jacobians_batch,
-    reproj_residuals_batch,
 )
 
 
@@ -94,30 +93,31 @@ def _build_pairs(obs_pt: np.ndarray, num_pts: int):
     return pair_a.astype(np.int32), pair_b.astype(np.int32)
 
 
-def _cost_fn(prob: VisualBAProblem, consts, R, t, X):
-    cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
-    r = reproj_residuals_batch(cam, R, t, X, obs_cam, obs_pt, obs_uv, prob.sigma_px)
-    r = r * obs_w[:, None]
-    c = jnp.sum(r * r)
-    if prob.use_plane:
-        rp, _ = plane_point_batch(n_all, d_all, X, prob.sigma_plane)
-        c = c + jnp.sum(rp * rp)
-    return 0.5 * c
+class _LinCache(NamedTuple):
+    """u-independent linearization at one state, carried across rejected
+    LM steps (the Ceres analogue: the Jacobian is re-evaluated only after
+    an accepted step; rejected steps re-solve with new damping from the
+    cached linearization — lvba_system.cpp:1571-1643 via Ceres'
+    Evaluator caching)."""
+
+    g_c: jnp.ndarray   # (M, 6)
+    g_p: jnp.ndarray   # (P, 3)
+    Hcc: jnp.ndarray   # (M, 6, 6) undamped
+    Hpp: jnp.ndarray   # (P, 3, 3) undamped (incl. plane terms)
+    Wb: jnp.ndarray    # (O, 6, 3) camera-point coupling blocks
+    cost: jnp.ndarray  # scalar 0.5*||r||^2 at the linearization point
 
 
-def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
-               s_sharding=None, pairs_sharded=False):
-    """One damped normal-equation build + solve. Returns (dc, dX, q1).
+def _linearize(prob: VisualBAProblem, consts, R, t, X) -> _LinCache:
+    """Residual/Jacobian evaluation + all u-independent reductions.
 
     Traced under HIGHEST matmul precision — the TPU bf16 default corrupts
     the Schur assembly and the reduced LU solve (see solver/lm.py note)."""
     with jax.default_matmul_precision("highest"):
-        return _normal_eq_inner(prob, consts, pair_a, pair_b, R, t, X, u,
-                                s_sharding, pairs_sharded)
+        return _linearize_inner(prob, consts, R, t, X)
 
 
-def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
-                     s_sharding=None, pairs_sharded=False):
+def _linearize_inner(prob: VisualBAProblem, consts, R, t, X) -> _LinCache:
     cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
 
@@ -128,6 +128,7 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
     r = r * obs_w[:, None]
     Jc = Jc * obs_w[:, None, None]
     Jp = Jp * obs_w[:, None, None]
+    cost = 0.5 * jnp.sum(r * r)
     # gradients
     g_c = jax.ops.segment_sum(
         jnp.einsum("oab,oa->ob", Jc, r), obs_cam, num_segments=M
@@ -144,8 +145,38 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
     )  # (P, 3, 3)
     if prob.use_plane:
         rp, Jx = plane_point_batch(n_all, d_all, X, prob.sigma_plane)
+        cost = cost + 0.5 * jnp.sum(rp * rp)
         g_p = g_p + rp[:, None] * Jx
         Hpp = Hpp + Jx[:, :, None] * Jx[:, None, :]
+    Wb = jnp.einsum("oam,oan->omn", Jc, Jp)  # (O, 6, 3)
+    return _LinCache(g_c=g_c, g_p=g_p, Hcc=Hcc, Hpp=Hpp, Wb=Wb, cost=cost)
+
+
+def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
+               s_sharding=None, pairs_sharded=False):
+    """One damped normal-equation build + solve. Returns (dc, dX, q1)."""
+    cache = _linearize(prob, consts, R, t, X)
+    return _solve_cached(prob, consts, pair_a, pair_b, cache, u,
+                         s_sharding, pairs_sharded)
+
+
+def _solve_cached(prob: VisualBAProblem, consts, pair_a, pair_b,
+                  cache: _LinCache, u, s_sharding=None, pairs_sharded=False):
+    """Damped assemble + Schur solve from a cached linearization.
+
+    Everything here depends on the damping u, so it re-runs on rejected
+    steps — but the Jacobian evaluation (in _linearize) does not."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_cached_inner(prob, consts, pair_a, pair_b, cache, u,
+                                   s_sharding, pairs_sharded)
+
+
+def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
+                        cache: _LinCache, u, s_sharding, pairs_sharded):
+    cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
+    M, P = prob.num_cams, prob.num_pts
+    g_c, g_p, Hcc, Hpp, Wb, _ = cache
+    R = g_c  # dtype/shape anchor for eye constructions below
 
     # damping (multiplicative on diagonals, like H + u*diag(H))
     eye6 = jnp.eye(6, dtype=R.dtype)
@@ -156,7 +187,7 @@ def _normal_eq_inner(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
     dHpp = dHpp + 1e-12 * eye3
     Hpp_inv = jnp.linalg.inv(dHpp)
 
-    W = jnp.einsum("oam,oan->omn", Jc, Jp)          # (O, 6, 3)
+    W = Wb                                           # (O, 6, 3)
     Y = jnp.einsum("omn,onk->omk", W, Hpp_inv[obs_pt])  # (O, 6, 3)
 
     # reduced rhs: b = -g_c + Σ Y_o g_p[pt_o]
@@ -324,32 +355,39 @@ def solve_visual_ba(
     t = put(np.asarray(t0).astype(dtype), False)
     X = put(np.asarray(X0).astype(dtype), False)
 
-    cost = jax.jit(partial(_cost_fn, prob, consts))
-    step = jax.jit(partial(_normal_eq, prob, consts, pa, pb,
+    lin = jax.jit(partial(_linearize, prob, consts))
+    step = jax.jit(partial(_solve_cached, prob, consts, pa, pb,
                            s_sharding=s_sharding, pairs_sharded=mesh is not None))
 
     if device_loop and not verbose:
 
         @jax.jit
         def run(R0_, t0_, X0_):
-            c0_ = _cost_fn(prob, consts, R0_, t0_, X0_)
+            cache0 = _linearize(prob, consts, R0_, t0_, X0_)
             state = (
-                R0_, t0_, X0_,
+                R0_, t0_, X0_, cache0,
                 jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
-                c0_, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
             )
 
             def body(_i, s):
-                R_, t_, X_, u_, v_, c_prev_, it_, done_ = s
-                dc, dX, q1 = _normal_eq(prob, consts, pa, pb, R_, t_, X_, u_,
-                                        s_sharding=s_sharding,
-                                        pairs_sharded=mesh is not None)
+                R_, t_, X_, cache_, u_, v_, it_, done_ = s
+                dc, dX, q1 = _solve_cached(prob, consts, pa, pb, cache_, u_,
+                                           s_sharding=s_sharding,
+                                           pairs_sharded=mesh is not None)
                 R_t = jnp.matmul(
                     R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
                 )
                 t_t = t_ + dc[:, 3:6]
                 X_t = X_ + dX
-                c_new = _cost_fn(prob, consts, R_t, t_t, X_t)
+                # one Jacobian evaluation per iteration, at the TRIAL point:
+                # its cost is the acceptance test, and on acceptance it IS
+                # the next iteration's linearization; a rejected step keeps
+                # the cached one (Ceres Evaluator-caching semantics) — no
+                # separate residual-only pass, no post-accept re-evaluation
+                cache_t = _linearize(prob, consts, R_t, t_t, X_t)
+                c_prev_ = cache_.cost
+                c_new = cache_t.cost
                 q = c_prev_ - c_new
                 accept = q > 0
                 qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
@@ -359,21 +397,22 @@ def solve_visual_ba(
                 conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
                 stall = (~accept) & (u_new > 1e12)
                 frz = lambda new, old: jnp.where(done_, old, new)
+                sel = lambda new, old: frz(jnp.where(accept, new, old), old)
                 return (
-                    frz(jnp.where(accept, R_t, R_), R_),
-                    frz(jnp.where(accept, t_t, t_), t_),
-                    frz(jnp.where(accept, X_t, X_), X_),
+                    sel(R_t, R_),
+                    sel(t_t, t_),
+                    sel(X_t, X_),
+                    jax.tree.map(sel, cache_t, cache_),
                     frz(u_new, u_),
                     frz(v_new, v_),
-                    frz(jnp.where(accept, c_new, c_prev_), c_prev_),
                     jnp.where(done_, it_, it_ + 1),
                     done_ | conv | stall,
                 )
 
-            R_, t_, X_, u_, v_, c_fin, it_, done_ = jax.lax.fori_loop(
+            R_, t_, X_, cache_, u_, v_, it_, done_ = jax.lax.fori_loop(
                 0, max_iters, body, state
             )
-            return R_, t_, X_, c0_, c_fin, it_
+            return R_, t_, X_, cache0.cost, cache_.cost, it_
 
         R_f, t_f, X_f, c0_j, c_f, it_j = run(R, t, X)
         return VisualBAResult(
@@ -381,22 +420,24 @@ def solve_visual_ba(
             iters=int(it_j), cost0=float(c0_j), cost=float(c_f),
         )
 
-    c_prev = float(cost(R, t, X))
+    cache = lin(R, t, X)
+    c_prev = float(cache.cost)
     c0 = c_prev
     u, v = u_init, 2.0
     it_done = 0
     for it in range(max_iters):
-        dc, dX, q1 = step(R, t, X, u)
+        dc, dX, q1 = step(cache, u)
         dth = dc[:, 0:3]
         dt = dc[:, 3:6]
         R_t = R @ exp_so3(dth)
         t_t = t + dt
         X_t = X + dX
-        c_new = float(cost(R_t, t_t, X_t))
+        cache_t = lin(R_t, t_t, X_t)
+        c_new = float(cache_t.cost)
         q = c_prev - c_new
         it_done = it + 1
         if q > 0:
-            R, t, X = R_t, t_t, X_t
+            R, t, X, cache = R_t, t_t, X_t, cache_t
             qr = min(q / max(float(q1), 1e-300), 1e3)
             u = u * max(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
             v = 2.0

@@ -32,6 +32,36 @@ class TestExtraction:
         f = extract_sift(jnp.asarray(img), PARAMS)
         assert np.asarray(f.valid).sum() == 0
 
+    def test_pipelined_matches_single_image_path(self, tmp_path):
+        """extract_images_pipelined (threaded decode + deferred fetch +
+        padded last batch) must agree with per-image extract_sift."""
+        import cv2
+
+        from global_lvba_tpu.pipeline.sift_frontend import (
+            extract_images_pipelined, load_gray_image,
+        )
+
+        paths = []
+        for i in range(3):
+            img = (textured_image(h=128, w=160, seed=i) * 255).astype(np.uint8)
+            p = tmp_path / f"im{i}.png"
+            cv2.imwrite(str(p), img)
+            paths.append(p)
+        params = SiftParams(max_kp=256, n_octaves=3)
+        kps, descs, valids = extract_images_pipelined(
+            paths, 160, 128, params, batch=2
+        )
+        for i, p in enumerate(paths):
+            ref = extract_sift(jnp.asarray(load_gray_image(p, 160, 128)), params)
+            v = np.asarray(ref.valid)
+            np.testing.assert_array_equal(np.asarray(valids[i]), v)
+            # invalid slots carry unspecified values; compare valid ones
+            # vmapped-batch vs single-image executables round differently
+            np.testing.assert_allclose(kps[i][v], np.asarray(ref.xy)[v], atol=2e-3)
+            np.testing.assert_allclose(
+                np.asarray(descs[i])[v], np.asarray(ref.desc)[v], atol=1e-2
+            )
+
 
 class TestMatching:
     def test_shift_recovered_subpixel(self):
