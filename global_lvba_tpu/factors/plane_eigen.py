@@ -175,7 +175,7 @@ def _per_voxel_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: in
 
 
 def _chunk_eval(fa_c: PlaneFactorArrays, R, p, W: int):
-    """One voxel chunk -> (resid, grad (W,6), diag (W,6,6), M (3V, 6W)).
+    """One voxel chunk -> (resid, grad (W,6), diag (W,6,6), M (V, W, 3, 6)).
 
     The full cross-pose Hessian contribution of the chunk is the negative
     Gram matrix -MᵀM.  Per voxel, three factor rows span all pair blocks:
@@ -208,8 +208,7 @@ def _chunk_eval(fa_c: PlaneFactorArrays, R, p, W: int):
     c = (jnp.sqrt(2.0) / N_safe)[:, None, None] * c
     rows = jnp.concatenate([BA, c[:, :, None, :]], axis=2)  # (V, K, 3, 6)
     rows = rows * mask[..., None, None]
-    M = jnp.einsum("vkw,vkrc->vrwc", onehot, rows)        # (V, 3, W, 6)
-    M = M.reshape(V * 3, W * 6)
+    M = jnp.einsum("vkw,vkrc->vwrc", onehot, rows)        # (V, W, 3, 6)
     return resid, g, Hd, M
 
 
@@ -243,8 +242,13 @@ def plane_cost_grad_hess(
     def body(carry, fa_c):
         resid_a, g_a, Hd_a, H_a = carry
         resid, g, Hd, M = _chunk_eval_soa(fa_c, R, p, W)
-        H_a = H_a - jnp.dot(
-            M.T, M, preferred_element_type=M.dtype,
+        # H[w1,c1,w2,c2] -= sum_{v,r} M[v,w1,r,c1] M[v,w2,r,c2]: a multi-dim
+        # dot_general straight off the one-hot dot's native (V, W, 3, 6)
+        # layout — relayouting M to (3V, 6W) for a 2-D jnp.dot measured 32%
+        # slower at W = 512 (the transpose dominated the matmul)
+        H_a = H_a - jax.lax.dot_general(
+            M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=M.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
         return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
@@ -257,10 +261,23 @@ def plane_cost_grad_hess(
         zvar,
         jnp.zeros((W, 6), R.dtype) + zvar,
         jnp.zeros((W, 6, 6), R.dtype) + zvar,
-        jnp.zeros((W * 6, W * 6), R.dtype) + zvar,
+        jnp.zeros((W, 6, W, 6), R.dtype) + zvar,
     )
-    (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
-    H = Hq.reshape(W, 6, W, 6)
+    if n_chunks <= 16:
+        # unroll at trace time: a lax.scan lowers to a while loop whose
+        # body XLA schedules in isolation — measured 25% slower than the
+        # same chunks unrolled (W=512, TPU v5e); memory stays bounded by
+        # chunk_bytes either way
+        carry = init
+        for c in range(n_chunks):
+            fa_c = PlaneFactorArrays(
+                fa_p.n[c], fa_p.mu[c], fa_p.Pc[c], fa_p.frame[c]
+            )
+            carry, _ = body(carry, fa_c)
+        resid, g, Hd, Hq = carry
+    else:
+        (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
+    H = Hq
     H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
     return resid, g, H
 
@@ -524,7 +541,7 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
 
 
 def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int):
-    """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (3V, 6W)).
+    """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (V, W, 3, 6)).
 
     All frame-indexed reductions are explicit dot_generals so they lower to
     the MXU (einsum's broadcast-reduce form lowered to the VPU and was
@@ -553,8 +570,7 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int):
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=fa_c.n.dtype, precision=hi,
     )                                                   # (V, W, 18)
-    M = M.reshape(V, W, 3, 6).transpose(0, 2, 1, 3).reshape(V * 3, W * 6)
-    return resid, g, Hd, M
+    return resid, g, Hd, M.reshape(V, W, 3, 6)
 
 
 def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:

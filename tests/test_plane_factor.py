@@ -197,9 +197,14 @@ class TestSoAvsAoS:
             np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_a), atol=1e-11)
             np.testing.assert_allclose(np.asarray(Hd_s), np.asarray(Hd_a), atol=1e-10)
             # factor rows may differ by per-voxel ordering/sign conventions of
-            # B's eigenvector rows — compare the Gram products
-            Ha = np.asarray(M_a).T @ np.asarray(M_a)
-            Hs = np.asarray(M_s).T @ np.asarray(M_s)
+            # B's eigenvector rows — compare the Gram products; M is
+            # (V, W, 3, 6), flatten to (3V, 6W) rows for the check
+            def flat(M):
+                M = np.asarray(M).transpose(0, 2, 1, 3)
+                return M.reshape(M.shape[0] * 3, -1)
+
+            Ha = flat(M_a).T @ flat(M_a)
+            Hs = flat(M_s).T @ flat(M_s)
             np.testing.assert_allclose(Hs, Ha, atol=1e-9 * max(1.0, np.abs(Ha).max()))
             c_a = float(plane_cost_aos(fa, R, p))
             c_s = float(plane_cost_soa(fa, R, p))
