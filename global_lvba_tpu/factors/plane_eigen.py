@@ -282,6 +282,85 @@ def plane_cost_grad_hess(
     return resid, g, H
 
 
+def frame_onehot(fa: PlaneFactorArrays, W: int, dtype=None) -> jnp.ndarray:
+    """(V*K, W) one-hot of the bucket's frame ids — the reusable operand of
+    every frame-indexed MXU reduction (TPU scatters serialize).  Computed
+    once per solve and shared by the gradient/diag reductions and the
+    matrix-free matvec's scatter-back."""
+    dtype = dtype or fa.n.dtype
+    fid = fa.frame.reshape(-1)
+    return (fid[:, None] == jnp.arange(W, dtype=fid.dtype)).astype(dtype)
+
+
+def plane_cost_grad_rows(
+    fa: PlaneFactorArrays, R, p, W: int, oh: jnp.ndarray
+):
+    """Compact linearization for the MATRIX-FREE damped solve.
+
+    Returns (resid, g (W, 6), Hd (W, 6, 6), rows (V, K, 18)) such that the
+    full Hessian is H = scatter_diag(Hd) - MᵀM with M the one-hot
+    frame-expansion of `rows` — but M is never materialized and no (6W)²
+    Gram is formed.  The expansion + Gram are ~3/4 of the factor
+    evaluation at W = 512; the CG solver applies H directly from the
+    compact rows instead (solver/dist_solve.py:solve_damped_cg_rows).
+    Same per-voxel math as acc_evaluate2 (/root/reference/include/BALM/
+    bavoxel.hpp:68-174) restated as factor rows.
+    """
+    V, K = fa.n.shape
+    resid, jjt6, D36, rows18 = _soa_core(fa, R, p, W)
+    hi = jax.lax.Precision.HIGHEST
+    g = jax.lax.dot_general(
+        oh, jjt6.reshape(V * K, 6),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=fa.n.dtype, precision=hi,
+    )                                                   # (W, 6)
+    Hd = jax.lax.dot_general(
+        oh, D36.reshape(V * K, 36),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=fa.n.dtype, precision=hi,
+    ).reshape(W, 6, 6)
+    return resid, g, Hd, rows18
+
+
+def plane_rows_cross_diag(rows18: jnp.ndarray, oh: jnp.ndarray, W: int):
+    """Per-frame 6x6 diagonal blocks of MᵀM from compact rows: each voxel
+    observes a frame at most once, so block_w = Σ_{(v,k): f=w} Σ_r
+    rows_{vkr}ᵀ rows_{vkr} — one one-hot reduction of the per-entry
+    36-component outer products."""
+    V, K = rows18.shape[:2]
+    r3 = rows18.reshape(V, K, 3, 6)
+    P36 = jnp.einsum("vkrc,vkrd->vkcd", r3, r3).reshape(V * K, 36)
+    hi = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        oh, P36,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=rows18.dtype, precision=hi,
+    ).reshape(W, 6, 6)
+
+
+def plane_rows_matvec(
+    rows18: jnp.ndarray, frame: jnp.ndarray, oh: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """Cross-term matvec (MᵀM) @ x from compact factor rows.
+
+    x: (W, 6).  Per voxel: s_r = Σ_{k,c} rows_{vkrc} x[f_vk, c] (the
+    gather rides the same row-gather XLA path as R[fa.frame] in the
+    factor core), then z_{vkc} = Σ_r rows_{vkrc} s_r scatter-adds back by
+    frame as one one-hot MXU matmul.  O(V K) work + one (VK, W) matmul —
+    never the (6W)² Gram."""
+    V, K = rows18.shape[:2]
+    r3 = rows18.reshape(V, K, 3, 6)
+    xg = x[frame]                                        # (V, K, 6)
+    s = jnp.einsum("vkrc,vkc->vr", r3, xg)               # (V, 3)
+    z = jnp.einsum("vkrc,vr->vkc", r3, s)                # (V, K, 6)
+    hi = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        oh, z.reshape(V * K, 6),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=rows18.dtype, precision=hi,
+    )                                                    # (W, 6)
+
+
 # ---------------------------------------------------------------------------
 # Structure-of-arrays fast path
 # ---------------------------------------------------------------------------

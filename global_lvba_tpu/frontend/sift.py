@@ -17,11 +17,14 @@ module implements the same pipeline TPU-natively:
     partial top-k; recall >= 0.95 of the exact set — exact `top_k` over
     the multi-megapixel score map was the single hottest op);
   * quadratic subpixel refinement (one Newton step over (x, y, s));
-  * gradient orientation from a 36-bin weighted histogram; keypoints are
+  * gradient orientation from a 36-bin weighted histogram accumulated
+    per patch pixel (Lowe's formulation — no resampling); keypoints are
     DUPLICATED at secondary histogram peaks >= 0.8 * max (Lowe's rule, as
     SiftGPU does) up to `n_orientations` per keypoint;
-  * 4x4x8 = 128-d descriptors from a rotated 16x16 gradient sample grid
-    with trilinear binning, normalize -> clip 0.2 -> renormalize.
+  * 4x4x8 = 128-d descriptors: every pixel of the keypoint's gradient
+    patch is rotated into the keypoint frame and trilinearly binned
+    (separable hat weights contracted on the MXU), normalize -> clip
+    0.2 -> renormalize.
 
 Everything is padded/masked: each image yields exactly `max_kp` slots
 ranked by |DoG| response with a validity mask.  Irregular per-image
@@ -293,122 +296,137 @@ def _extract_patches(gauss_int: jnp.ndarray, xy: jnp.ndarray,
     return jax.vmap(one)(xy, scale_idx)
 
 
-def _sample_grad(dxp, dyp, sx, sy):
-    """Nearest-pixel (dx, dy) at local coords (sx, sy) via one-hot MXU
-    contractions — no gathers.  dxp/dyp: (PSZ, PSZ); sx/sy: (S_,) float."""
-    n = dxp.shape[0]
-    xi = jnp.clip(sx, 0, n - 1).astype(jnp.int32)
-    yi = jnp.clip(sy, 0, n - 1).astype(jnp.int32)
-    ar = jnp.arange(n)
-    OHy = (yi[:, None] == ar).astype(dxp.dtype)          # (S_, n)
-    OHx = (xi[:, None] == ar).astype(dxp.dtype)          # (S_, n)
-    Tdx = jnp.dot(OHy, dxp, preferred_element_type=dxp.dtype)  # (S_, n)
-    Tdy = jnp.dot(OHy, dyp, preferred_element_type=dxp.dtype)
-    dx = jnp.einsum("sc,sc->s", Tdx, OHx)
-    dy = jnp.einsum("sc,sc->s", Tdy, OHx)
-    return dx, dy
-
-
 def _orientations(
-    dxp: jnp.ndarray, dyp: jnp.ndarray, xy_loc: jnp.ndarray,
+    mpx: jnp.ndarray, apx: jnp.ndarray, xy_loc: jnp.ndarray,
     sigma: jnp.ndarray, params: SiftParams,
 ):
     """Dominant + secondary gradient orientations per keypoint from its
-    gradient patch.
+    gradient patch, accumulated PER PIXEL (Lowe's formulation): every
+    pixel of the keypoint's own patch votes into the 36-bin histogram
+    with Gaussian weight exp(-r^2 / 2(1.5s)^2), truncated at |r| <= 3s.
+    No resampling — the grid-resample + one-hot-matmul sampling this
+    replaces was ~half the extraction time for the same histogram.
 
-    Returns (theta1 (N,), theta2 (N,), has2 (N,)): theta2 is the largest
+    mpx/apx: (K, PSZ, PSZ) gradient magnitude/angle patches.
+    Returns (theta1 (K,), theta2 (K,), has2 (K,)): theta2 is the largest
     strict-local-maximum histogram peak >= 0.8 * max outside the dominant
     bin (Lowe's multi-orientation rule; SiftGPU emits these as duplicated
     keypoints)."""
-    P = params.patch
     NB = params.ori_bins
+    K, P, _ = mpx.shape
+    ar = jnp.arange(P, dtype=mpx.dtype)
+    rx = ar[None, None, :] - xy_loc[:, 0, None, None]    # (K, 1, P)
+    ry = ar[None, :, None] - xy_loc[:, 1, None, None]    # (K, P, 1)
+    sw = jnp.maximum(1.5 * sigma, 1e-3)[:, None, None]
+    span = jnp.maximum(3.0 * sigma, 1e-3)[:, None, None]
+    w = jnp.exp(-(rx * rx + ry * ry) / (2.0 * sw * sw))
+    w = jnp.where((jnp.abs(rx) <= span) & (jnp.abs(ry) <= span), w, 0.0)
+    bins = jnp.floor((apx + jnp.pi) / (2 * jnp.pi) * NB).astype(jnp.int32) % NB
+    mw = (mpx * w).reshape(K, -1)
+    binsf = bins.reshape(K, -1)
+    # scatter-free histogram: NB sibling masked reductions over the shared
+    # (K, P*P) operands — XLA fuses these into one pass (TPU scatters
+    # serialize; a (K, P*P, NB) one-hot would be GBs)
+    hist = jnp.stack(
+        [jnp.sum(jnp.where(binsf == b, mw, 0.0), axis=-1) for b in range(NB)],
+        axis=-1,
+    )                                                    # (K, NB)
+    # circular smooth x2
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
 
-    def one(dxk, dyk, xyk, sk):
-        radius = 1.5 * sk * 2.0
-        lin = (jnp.arange(P) - (P - 1) / 2.0) / ((P - 1) / 2.0)  # [-1, 1]
-        gy, gx = jnp.meshgrid(lin * radius, lin * radius, indexing="ij")
-        dx, dy = _sample_grad(
-            dxk, dyk, (xyk[0] + gx).reshape(-1), (xyk[1] + gy).reshape(-1)
-        )
-        m = jnp.sqrt(dx * dx + dy * dy)
-        a = jnp.arctan2(dy, dx)
-        w = jnp.exp(-(gx * gx + gy * gy) / (2.0 * (1.5 * sk) ** 2)).reshape(-1)
-        bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * NB).astype(jnp.int32) % NB
-        # scatter-free histogram: one-hot contraction (TPU scatters serialize)
-        onehot = (bins[:, None] == jnp.arange(NB)).astype(m.dtype)
-        hist = jnp.einsum("sb,s->b", onehot, m * w)
-        # circular smooth x2
-        for _ in range(2):
-            hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    def at(ob):
+        return jnp.take_along_axis(hist, ob[:, None], axis=1)[:, 0]
 
-        def peak_theta(ob):
-            l = hist[(ob - 1) % NB]
-            c = hist[ob]
-            r = hist[(ob + 1) % NB]
-            denom = l - 2 * c + r
-            delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
-            return (ob + delta + 0.5) / NB * 2 * jnp.pi - jnp.pi
+    def peak_theta(ob):
+        l = at((ob - 1) % NB)
+        c = at(ob)
+        r = at((ob + 1) % NB)
+        denom = l - 2 * c + r
+        delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        return (ob + delta + 0.5) / NB * 2 * jnp.pi - jnp.pi
 
-        ob = jnp.argmax(hist)
-        theta1 = peak_theta(ob)
-        # secondary peak: strict local max, >= 0.8 * max, not the main bin
-        left = jnp.roll(hist, 1)
-        right = jnp.roll(hist, -1)
-        is_peak = (hist > left) & (hist >= right)
-        idxs = jnp.arange(NB)
-        cand = is_peak & (idxs != ob) & (hist >= 0.8 * hist[ob])
-        v2 = jnp.where(cand, hist, -1.0)
-        ob2 = jnp.argmax(v2)
-        has2 = v2[ob2] > 0
-        theta2 = peak_theta(ob2)
-        return theta1, theta2, has2
-
-    return jax.vmap(one)(dxp, dyp, xy_loc, sigma)
+    ob = jnp.argmax(hist, axis=-1)
+    theta1 = peak_theta(ob)
+    # secondary peak: strict local max, >= 0.8 * max, not the main bin
+    left = jnp.roll(hist, 1, -1)
+    right = jnp.roll(hist, -1, -1)
+    is_peak = (hist > left) & (hist >= right)
+    idxs = jnp.arange(NB)[None, :]
+    cand = is_peak & (idxs != ob[:, None]) & (hist >= 0.8 * at(ob)[:, None])
+    v2 = jnp.where(cand, hist, -1.0)
+    ob2 = jnp.argmax(v2, axis=-1)
+    has2 = jnp.take_along_axis(v2, ob2[:, None], axis=1)[:, 0] > 0
+    theta2 = peak_theta(ob2)
+    return theta1, theta2, has2
 
 
 def _descriptors(
-    dxp: jnp.ndarray, dyp: jnp.ndarray, xy_loc: jnp.ndarray,
+    mpx: jnp.ndarray, apx: jnp.ndarray, xy_loc: jnp.ndarray,
     sigma: jnp.ndarray, theta: jnp.ndarray, params: SiftParams,
+    chunk: int = 256,
 ):
-    """128-d descriptor per (keypoint, orientation) from its gradient patch."""
-    P = params.patch
+    """128-d descriptor per keypoint, accumulated PER PIXEL of the
+    keypoint's gradient patch: each pixel is rotated into the keypoint
+    frame, assigned trilinear hat weights over the (4, 4, 8) bin grid
+    (bin width 3*sigma), and the bins contract as one batched MXU matmul
+    per chunk.  Replaces the rotated-grid resample whose one-hot sampling
+    matmuls dominated descriptor time.
 
-    def one(dxk, dyk, xyk, sk, th):
-        # rotated 16x16 grid over 4x4 spatial bins
-        hist_w = 3.0 * sk          # bin width in octave pixels
-        u = (jnp.arange(P) + 0.5) / P * 4.0 - 2.0   # bin coords in [-2, 2)
-        gu, gv = jnp.meshgrid(u, u, indexing="ij")
-        ct, st = jnp.cos(th), jnp.sin(th)
-        px = (xyk[0] + (gv * ct - gu * st) * hist_w).reshape(-1)
-        py = (xyk[1] + (gv * st + gu * ct) * hist_w).reshape(-1)
-        dx, dy = _sample_grad(dxk, dyk, px, py)
-        m2 = jnp.sqrt(dx * dx + dy * dy)
-        a2 = jnp.arctan2(dy, dx) - th
-        wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2)).reshape(-1)
-        bu = gu + 2.0 - 0.5
-        bv = gv + 2.0 - 0.5
-        ob8 = (a2 + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
-        contrib = m2 * wgt
-        buf = bu.reshape(-1)
-        bvf = bv.reshape(-1)
-        bof = ob8
-        # scatter-free trilinear binning: the hat-function weights are
-        # separable, so the (4, 4, 8) bins accumulate as one einsum over
-        # dense per-axis weight tables instead of 8 scattered adds
-        centers4 = jnp.arange(4, dtype=buf.dtype)
-        Au = jnp.maximum(0.0, 1.0 - jnp.abs(buf[:, None] - centers4))   # (S, 4)
-        Av = jnp.maximum(0.0, 1.0 - jnp.abs(bvf[:, None] - centers4))   # (S, 4)
-        centers8 = jnp.arange(8, dtype=bof.dtype)
-        do_ = jnp.abs(bof[:, None] - centers8)
-        do_ = jnp.minimum(do_, 8.0 - do_)                               # circular
-        Ao = jnp.maximum(0.0, 1.0 - do_)                                # (S, 8)
-        d = jnp.einsum("s,su,sv,so->uvo", contrib, Au, Av, Ao).reshape(128)
-        n = jnp.linalg.norm(d) + 1e-12
+    mpx/apx: (K, PSZ, PSZ) gradient magnitude/angle patches."""
+    K, P, _ = mpx.shape
+    S = P * P
+    ar = jnp.arange(P, dtype=mpx.dtype)
+    c4 = jnp.arange(4, dtype=mpx.dtype)
+    c8 = jnp.arange(8, dtype=mpx.dtype)
+
+    def desc_chunk(args):
+        mc, ac, xyc, sgc, thc = args
+        C = mc.shape[0]
+        rx = ar[None, None, :] - xyc[:, 0, None, None]   # (C, 1, P)
+        ry = ar[None, :, None] - xyc[:, 1, None, None]   # (C, P, 1)
+        hw = jnp.maximum(3.0 * sgc, 1e-3)[:, None, None]  # bin width, px
+        ct = jnp.cos(thc)[:, None, None]
+        st = jnp.sin(thc)[:, None, None]
+        # inverse-rotate pixel offsets into bin coords (forward map:
+        # offset = hw * R(theta) @ [gv, gu])
+        gv = (rx * ct + ry * st) / hw
+        gu = (-rx * st + ry * ct) / hw
+        wgt = jnp.exp(-(gu * gu + gv * gv) / (2.0 * 2.0 ** 2))
+        contrib = (mc * wgt).reshape(C, S)
+        bu = (gu + 2.0 - 0.5).reshape(C, S)
+        bv = (gv + 2.0 - 0.5).reshape(C, S)
+        ob8 = (jnp.mod(ac - thc[:, None, None], 2 * jnp.pi)
+               / (2 * jnp.pi) * 8.0).reshape(C, S)
+        Au = jnp.maximum(0.0, 1.0 - jnp.abs(bu[..., None] - c4))  # (C, S, 4)
+        Av = jnp.maximum(0.0, 1.0 - jnp.abs(bv[..., None] - c4))  # (C, S, 4)
+        do_ = jnp.abs(ob8[..., None] - c8)
+        do_ = jnp.minimum(do_, 8.0 - do_)                         # circular
+        Ao = jnp.maximum(0.0, 1.0 - do_)                          # (C, S, 8)
+        T = (contrib[..., None] * Au)[..., :, None] * Av[..., None, :]
+        d = jnp.einsum("ksuv,kso->kuvo", T, Ao).reshape(C, 128)
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12
         d = jnp.minimum(d / n, 0.2)
-        d = d / (jnp.linalg.norm(d) + 1e-12)
-        return d
+        return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
 
-    return jax.vmap(one)(dxp, dyp, xy_loc, sigma, theta)
+    if K <= chunk:
+        return desc_chunk((mpx, apx, xy_loc, sigma, theta))
+    # chunk the keypoint axis: the (C, P*P, 16) trilinear tensor is the
+    # peak intermediate; unchunked at K=1024 x batch it would be GBs
+    nch = -(-K // chunk)
+    pad = nch * chunk - K
+    if pad:
+        mpx = jnp.pad(mpx, ((0, pad), (0, 0), (0, 0)))
+        apx = jnp.pad(apx, ((0, pad), (0, 0), (0, 0)))
+        xy_loc = jnp.pad(xy_loc, ((0, pad), (0, 0)))
+        sigma = jnp.pad(sigma, (0, pad), constant_values=1.0)
+        theta = jnp.pad(theta, (0, pad))
+    args = jax.tree_util.tree_map(
+        lambda x: x.reshape((nch, chunk) + x.shape[1:]),
+        (mpx, apx, xy_loc, sigma, theta),
+    )
+    out = jax.lax.map(desc_chunk, args)
+    return out.reshape(nch * chunk, 128)[:K]
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -458,25 +476,28 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
         xy, s_idx, sigma_o, resp, valid = _extract_octave(gauss, params, kp_per_octave)
 
         # orientation + descriptor: per-keypoint gradient patches sliced
-        # from the keypoint's own scale, sampled via one-hot contractions
+        # from the keypoint's own scale; magnitude/angle computed once and
+        # shared by the histogram and both descriptor orientations
         sclamp = jnp.clip(s_idx - 1, 0, S - 1)
         dxp, dyp, origin = _extract_patches(gauss[1 : S + 1], xy, sclamp)
         xy_loc = xy - origin.astype(xy.dtype)
-        theta1, theta2, has2 = _orientations(dxp, dyp, xy_loc, sigma_o, params)
+        mpx = jnp.sqrt(dxp * dxp + dyp * dyp)
+        apx = jnp.arctan2(dyp, dxp)
+        theta1, theta2, has2 = _orientations(mpx, apx, xy_loc, sigma_o, params)
         if params.n_orientations >= 2:
             # duplicate keypoints at secondary orientation peaks (0.8 rule)
             xy_d = jnp.concatenate([xy, xy])
             sig_d = jnp.concatenate([sigma_o, sigma_o])
             th_d = jnp.concatenate([theta1, theta2])
-            desc_d = _descriptors(
-                jnp.concatenate([dxp, dxp]), jnp.concatenate([dyp, dyp]),
-                jnp.concatenate([xy_loc, xy_loc]), sig_d, th_d, params,
-            )
+            desc_d = jnp.concatenate([
+                _descriptors(mpx, apx, xy_loc, sigma_o, theta1, params),
+                _descriptors(mpx, apx, xy_loc, sigma_o, theta2, params),
+            ])
             valid_d = jnp.concatenate([valid, valid & has2])
             resp_d = jnp.concatenate([resp, resp])
         else:
             th_d = theta1
-            desc_d = _descriptors(dxp, dyp, xy_loc, sigma_o, theta1, params)
+            desc_d = _descriptors(mpx, apx, xy_loc, sigma_o, theta1, params)
             xy_d, sig_d, valid_d, resp_d = xy, sigma_o, valid, resp
 
         all_xy.append((xy_d + 0.5) * scale - 0.5)

@@ -39,6 +39,83 @@ def _block_jacobi_inv(A: jnp.ndarray, bsize: int) -> jnp.ndarray:
     return jnp.linalg.inv(diag + 1e-30 * eye)
 
 
+def solve_damped_cg_rows(
+    rows_list,
+    frame_list,
+    oh_list,
+    Hd: jnp.ndarray,
+    g: jnp.ndarray,
+    u: jnp.ndarray,
+    max_iters: int = 256,
+    tol: float = 1e-10,
+):
+    """MATRIX-FREE damped solve: (H + u diag(H)) dx = -g where
+    H = scatter_diag(Hd) - MᵀM is applied straight from compact factor
+    rows (factors/plane_eigen.py:plane_rows_matvec) — the (6W, 6W) Gram
+    product, its HBM materialization, and the LU are all skipped.  This
+    is the large-W scaling path: per-iteration work is O(V K) + one
+    (VK, W) one-hot matmul, vs O((6W)²) to even form H.
+
+    rows_list/frame_list/oh_list: per-bucket (V, K, 18) rows, (V, K)
+    frame ids, (V*K, W) one-hot operands.  Hd: (W, 6, 6) diagonal
+    extras; g: (W, 6).  Returns (dx (6W,), d (6W,)) with d = diag(H)
+    (the LM gain-ratio denominator needs it)."""
+    from ..factors.plane_eigen import plane_rows_cross_diag, plane_rows_matvec
+
+    W = Hd.shape[0]
+    dt = Hd.dtype
+    with jax.default_matmul_precision("highest"):
+        Dblk = Hd - sum(
+            plane_rows_cross_diag(r, oh, W)
+            for r, oh in zip(rows_list, oh_list)
+        )                                             # true 6x6 diag blocks
+        d = jnp.diagonal(Dblk, axis1=1, axis2=2)      # (W, 6) = diag(H)
+        eye = jnp.eye(6, dtype=dt)
+        Minv = jnp.linalg.inv(
+            Dblk + (u * d)[:, :, None] * eye + 1e-30 * eye
+        )
+
+        def matvec(x):                                # (W, 6) -> (W, 6)
+            y = jnp.einsum("wab,wb->wa", Hd, x) + u * d * x
+            for r, f, oh in zip(rows_list, frame_list, oh_list):
+                y = y - plane_rows_matvec(r, f, oh, x)
+            return y
+
+        def precond(r):
+            return jnp.einsum("wab,wb->wa", Minv, r)
+
+        b = -g
+        x = jnp.zeros_like(g)
+        r = b
+        z = precond(r)
+        p = z
+        rz = jnp.vdot(r, z)
+        b2 = jnp.maximum(jnp.vdot(b, b), 1e-300)
+
+        def body(_i, s):
+            x, r, p, rz, done = s
+            Ap = matvec(p)
+            denom = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            x_n = x + alpha * p
+            r_n = r - alpha * Ap
+            z_n = precond(r_n)
+            rz_n = jnp.vdot(r_n, z_n)
+            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+            p_n = z_n + beta * p
+            conv = jnp.vdot(r_n, r_n) / b2 < tol * tol
+            frz = lambda new, old: jnp.where(done, old, new)
+            return (
+                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
+                done | conv,
+            )
+
+        x, r, p, rz, done = jax.lax.fori_loop(
+            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
+        )
+        return x.reshape(-1), d.reshape(-1)
+
+
 def solve_damped_cg(
     H: jnp.ndarray,
     g: jnp.ndarray,

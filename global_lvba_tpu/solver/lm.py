@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
     PlaneFactorArrays,
+    frame_onehot,
     plane_cost,
     plane_cost_grad_hess,
+    plane_cost_grad_rows,
 )
 from ..geometry.se3 import boxplus_pose
 
@@ -104,8 +106,11 @@ def lm_damping_iter(
 
     reduced_solver: "lu" (replicated direct solve; right for small W),
     "cg" (block-Jacobi preconditioned CG whose matvec distributes over the
-    `h_sharding` row sharding; the large-W scaling path — solver/dist_solve.py),
-    or "auto" (CG once 6W >= 1536).
+    `h_sharding` row sharding — solver/dist_solve.py), "cg_mf" (MATRIX-FREE
+    CG: the (6W)² Hessian is never assembled; H·x applies straight from
+    compact factor rows, skipping the Gram product that dominates the
+    factor evaluation at large W), or "auto" (cg_mf once 6W >= 1536 when
+    unsharded, cg when sharded, else LU).
     """
     return _lm_jitted(
         tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
@@ -129,6 +134,21 @@ def _lm_jitted(
     g_size = sum(int(fa.n.shape[0]) for fa in buckets)
     g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
 
+    solver = reduced_solver
+    if solver == "auto":
+        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
+        # steps); once the state is large, matrix-free CG wins — and it
+        # never even forms the (6W)² Hessian.  The GSPMD-sharded dense CG
+        # remains the choice when an explicit H row-sharding is requested.
+        if 6 * W >= 1536:
+            solver = "cg" if h_sharding is not None else "cg_mf"
+        else:
+            solver = "lu"
+
+    if solver == "cg_mf":
+        return _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol,
+                        W, g_size_f)
+
     def cgh(R, p):
         r, g, H = _total_cgh(buckets, R, p, W, h_sharding)
         return r / g_size_f, g, H
@@ -147,12 +167,6 @@ def _lm_jitted(
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.bool_),
     )
-
-    solver = reduced_solver
-    if solver == "auto":
-        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
-        # steps); preconditioned CG wins once the state is large
-        solver = "cg" if 6 * W >= 1536 else "lu"
 
     def body_fn(_i, s):
         R, p, u, v, res1, g, H, it, done = s
@@ -211,6 +225,96 @@ def _lm_jitted(
         )
 
     R, p, u, v, res1, g, H, it, done = jax.lax.fori_loop(
+        0, max_iters, body_fn, state
+    )
+    return LMResult(R=R, p=p, iters=it, residual=res1)
+
+
+def _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol, W, g_size_f):
+    """Matrix-free LM: same Nielsen damping / one-evaluation-per-iteration
+    loop as the dense path, but the linearization is carried as COMPACT
+    per-bucket factor rows (V, K, 18) + diag extras — the (6W)² Gram that
+    dominates the dense factor evaluation at large W is never formed, and
+    the damped system solves by matrix-free block-Jacobi PCG
+    (solver/dist_solve.py:solve_damped_cg_rows)."""
+    from .dist_solve import solve_damped_cg_rows
+
+    # one-hot frame operands: constant across the whole solve, shared by
+    # the gradient/diag reductions and every CG matvec's scatter-back
+    ohs = tuple(frame_onehot(fa, W, R0.dtype) for fa in buckets)
+    frames = tuple(fa.frame for fa in buckets)
+
+    def eval_rows(R, p):
+        resid = jnp.zeros((), R0.dtype)
+        g = jnp.zeros((W, 6), R0.dtype)
+        Hd = jnp.zeros((W, 6, 6), R0.dtype)
+        rows = []
+        for fa, oh in zip(buckets, ohs):
+            r_, g_, Hd_, rows_ = plane_cost_grad_rows(fa, R, p, W, oh)
+            resid, g, Hd = resid + r_, g + g_, Hd + Hd_
+            rows.append(rows_)
+        return resid / g_size_f, g, Hd, tuple(rows)
+
+    res1_0, g_0, Hd_0, rows_0 = eval_rows(R0, p0)
+
+    state = (
+        R0,
+        p0,
+        jnp.asarray(u_init, R0.dtype),
+        jnp.asarray(v_init, R0.dtype),
+        res1_0,
+        g_0,
+        Hd_0,
+        rows_0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.bool_),
+    )
+
+    def body_fn(_i, s):
+        R, p, u, v, res1, g, Hd, rows, it, done = s
+        dx, d = solve_damped_cg_rows(rows, frames, ohs, Hd, g, u)
+        dxp = dx.reshape(W, 6)
+        R_t, p_t = boxplus_pose(R, p, dxp)
+        q1 = 0.5 * jnp.dot(dx, u * d * dx - g.reshape(-1)) / g_size_f
+
+        # ONE factor evaluation per iteration, at the TRIAL point (see the
+        # dense body above for why this beats is_calc_hess and lax.cond)
+        res2, g_t, Hd_t, rows_t = eval_rows(R_t, p_t)
+        q = res1 - res2
+        accept = q > 0
+
+        qr = q / jnp.where(q1 == 0, 1.0, q1)
+        u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+        u_new = jnp.where(accept, u_acc, u * v)
+        v_new = jnp.where(accept, jnp.asarray(2.0, R.dtype), 2.0 * v)
+
+        sel = lambda new, old: jnp.where(accept & ~done, new, old)
+        rows_new = jax.tree_util.tree_map(sel, rows_t, rows)
+        R_new = sel(R_t, R)
+        p_new = sel(p_t, p)
+        g_new = sel(g_t, g)
+        Hd_new = sel(Hd_t, Hd)
+        res1_new = sel(res2, res1)
+
+        converged = jnp.abs(res1 - res2) / jnp.where(
+            res1 == 0, 1.0, jnp.abs(res1)
+        ) < rel_tol
+
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (
+            R_new,
+            p_new,
+            frz(u_new, u),
+            frz(v_new, v),
+            res1_new,
+            g_new,
+            Hd_new,
+            rows_new,
+            jnp.where(done, it, it + 1),
+            done | converged,
+        )
+
+    R, p, u, v, res1, g, Hd, rows, it, done = jax.lax.fori_loop(
         0, max_iters, body_fn, state
     )
     return LMResult(R=R, p=p, iters=it, residual=res1)

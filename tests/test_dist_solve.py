@@ -87,6 +87,61 @@ class TestDistSolve:
         assert ate_cg < 0.2 * ate_init
         assert abs(ate_cg - ate_lu) < 0.02 * ate_init + 1e-8
 
+    def test_matrix_free_rows_matches_dense(self):
+        """plane_cost_grad_rows + plane_rows_matvec reproduce the dense
+        gram-assembled Hessian action and diag blocks exactly (f64), and
+        LM with reduced_solver='cg_mf' matches the LU trajectory."""
+        from global_lvba_tpu.factors.padding import buckets_to_device
+        from global_lvba_tpu.factors.plane_eigen import (
+            frame_onehot, plane_cost_grad_hess, plane_cost_grad_rows,
+            plane_rows_cross_diag, plane_rows_matvec,
+        )
+        from global_lvba_tpu.map.voxelize import build_voxel_map
+        from global_lvba_tpu.models.synthetic import (
+            ate_rmse, make_plane_scene, perturb_poses,
+        )
+        from global_lvba_tpu.solver.lm import lm_damping_iter
+
+        W = 24
+        scene = make_plane_scene(num_frames=W, points_per_frame=1500, seed=3)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = buckets_to_device(vm, dtype=jnp.float64)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.005, 0.01, seed=1)
+        R, p = jnp.asarray(Rp), jnp.asarray(pp)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(W, 6)))
+        for fa in buckets:
+            r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W)
+            oh = frame_onehot(fa, W)
+            r2, g2, Hd2, rows2 = plane_cost_grad_rows(fa, R, p, W, oh)
+            assert abs(float(r1 - r2)) < 1e-12
+            np.testing.assert_allclose(
+                np.asarray(g1).reshape(-1), np.asarray(g2).reshape(-1),
+                rtol=0, atol=1e-11,
+            )
+            Hx1 = (H1.reshape(W * 6, W * 6) @ x.reshape(-1)).reshape(W, 6)
+            Hx2 = jnp.einsum("wab,wb->wa", Hd2, x) - plane_rows_matvec(
+                rows2, fa.frame, oh, x
+            )
+            scale = float(jnp.abs(Hx1).max()) + 1.0
+            assert float(jnp.abs(Hx1 - Hx2).max()) < 1e-12 * scale
+            Dblk1 = H1.reshape(W, 6, W, 6)[jnp.arange(W), :, jnp.arange(W), :]
+            Dblk2 = Hd2 - plane_rows_cross_diag(rows2, oh, W)
+            assert float(jnp.abs(Dblk1 - Dblk2).max()) < 1e-12 * scale
+
+        res_lu = lm_damping_iter(buckets, R, p, max_iters=10,
+                                 reduced_solver="lu")
+        res_mf = lm_damping_iter(buckets, R, p, max_iters=10,
+                                 reduced_solver="cg_mf")
+        ate_init = ate_rmse(pp, scene.p_true)
+        ate_mf = ate_rmse(np.asarray(res_mf.p), scene.p_true)
+        assert ate_mf < 0.5 * ate_init
+        assert float(jnp.abs(res_lu.p - res_mf.p).max()) < 1e-10
+
     def test_lm_sharded_cg(self):
         from global_lvba_tpu.factors.padding import buckets_to_device
         from global_lvba_tpu.map.voxelize import build_voxel_map
