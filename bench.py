@@ -182,22 +182,41 @@ def bench_sift():
     B = 4
     stack = jax.device_put(jnp.asarray(np.stack([img] * B)))
     batched = jax.jit(jax.vmap(lambda im: extract_sift(im, params)))
-    tiny = jax.jit(
-        lambda s: jax.tree.map(
-            lambda x: x[:, :2], jax.vmap(lambda im: extract_sift(im, params))(s)
-        )
-    )
 
-    def best(fn, n=6):
+    def _packed(s):
+        # ONE packed fetch: each device->host leaf fetch through the
+        # tunnel costs a ~25 ms round trip, so a 6-leaf tree fetch adds
+        # ~150 ms/call of pure transport — swamping the extraction itself
+        f = jax.vmap(lambda im: extract_sift(im, params))(s)
+        return (jnp.sum(f.xy) + jnp.sum(f.sigma) + jnp.sum(f.response)
+                + jnp.sum(f.orientation) + jnp.sum(f.desc)
+                + jnp.sum(f.valid.astype(jnp.float32)))
+
+    CHAIN = 4
+
+    @jax.jit
+    def tiny(s):
+        # chained on-device loop: amortizes the ~25 ms per-dispatch
+        # tunnel floor out of the device-time figure; the data-dependent
+        # perturbation defeats CSE/hoisting
+        def body(_i, c):
+            s_, acc = c
+            return (s_ + 1e-30 * acc, acc + _packed(s_))
+        _, acc = jax.lax.fori_loop(
+            0, CHAIN, body, (s, jnp.zeros((), jnp.float32))
+        )
+        return acc
+
+    def best(fn, n=6, calls=1):
         _sync(fn(stack))
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
             _sync(fn(stack))
             ts.append(time.perf_counter() - t0)
-        return min(ts) / B * 1e3
+        return min(ts) / (B * calls) * 1e3
 
-    return best(tiny), best(batched)
+    return best(tiny, calls=CHAIN), best(batched)
 
 
 def bench_w512():

@@ -72,18 +72,6 @@ def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of (H, W) — conv fallback (small images)."""
-    radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
-    x = img[None, None]  # NCHW
-    kh = k[None, None, None, :]
-    kv = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (radius, radius)])
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(radius, radius), (0, 0)])
-    return x[0, 0]
-
-
 def _toeplitz_gauss_np(n: int, sigma: float) -> np.ndarray:
     """(n, n) banded Toeplitz matrix of a truncated, globally-normalized 1-D
     Gaussian — zero-padding 'SAME' convolution as a dense matmul operand.
@@ -143,11 +131,6 @@ def _gauss_levels_matmul(base: jnp.ndarray, sigmas, upsample2: bool = False) -> 
 
 def _resize_half(img: jnp.ndarray) -> jnp.ndarray:
     return img[::2, ::2]
-
-
-def _resize_double(img: jnp.ndarray) -> jnp.ndarray:
-    H, W = img.shape
-    return jax.image.resize(img, (H * 2, W * 2), method="linear")
 
 
 def _local_extrema(dog: jnp.ndarray) -> jnp.ndarray:
@@ -294,6 +277,30 @@ def _extract_patches(gauss_int: jnp.ndarray, xy: jnp.ndarray,
         return dx, dy, jnp.stack([x0 + 1, y0 + 1])
 
     return jax.vmap(one)(xy, scale_idx)
+
+
+_OSZ = 24  # orientation window: covers the ±3*sigma support (max ±9.6 px
+           # at sigma_max = 3.2) with margin; the full descriptor patch is
+           # 64² so cropping cuts the histogram work ~7x
+
+
+def _crop_ori_window(mpx, apx, xy_loc):
+    """Per-keypoint (OSZ, OSZ) crop of the gradient patches centered on
+    the keypoint (clamped at patch borders), for the orientation
+    histogram.  Returns (m, a, xy_loc_local)."""
+    P = mpx.shape[1]
+
+    def one(mk, ak, xyk):
+        x0 = jnp.clip(xyk[0].astype(jnp.int32) - _OSZ // 2, 0, P - _OSZ)
+        y0 = jnp.clip(xyk[1].astype(jnp.int32) - _OSZ // 2, 0, P - _OSZ)
+        return (
+            jax.lax.dynamic_slice(mk, (y0, x0), (_OSZ, _OSZ)),
+            jax.lax.dynamic_slice(ak, (y0, x0), (_OSZ, _OSZ)),
+            jnp.stack([x0, y0]),
+        )
+
+    mo, ao, org = jax.vmap(one)(mpx, apx, xy_loc)
+    return mo, ao, xy_loc - org.astype(xy_loc.dtype)
 
 
 def _orientations(
@@ -483,7 +490,8 @@ def extract_sift(image: jnp.ndarray, params: SiftParams = SiftParams()) -> SiftF
         xy_loc = xy - origin.astype(xy.dtype)
         mpx = jnp.sqrt(dxp * dxp + dyp * dyp)
         apx = jnp.arctan2(dyp, dxp)
-        theta1, theta2, has2 = _orientations(mpx, apx, xy_loc, sigma_o, params)
+        mo, ao, xy_o = _crop_ori_window(mpx, apx, xy_loc)
+        theta1, theta2, has2 = _orientations(mo, ao, xy_o, sigma_o, params)
         if params.n_orientations >= 2:
             # duplicate keypoints at secondary orientation peaks (0.8 rule)
             xy_d = jnp.concatenate([xy, xy])

@@ -116,6 +116,89 @@ def solve_damped_cg_rows(
         return x.reshape(-1), d.reshape(-1)
 
 
+def solve_schur_cg_mf(
+    dHcc: jnp.ndarray,
+    W: jnp.ndarray,
+    Y: jnp.ndarray,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+    b: jnp.ndarray,
+    num_pts: int,
+    fix_first: bool = True,
+    max_iters: int = 256,
+    tol: float = 1e-10,
+) -> jnp.ndarray:
+    """MATRIX-FREE reduced-camera solve (the Ceres ITERATIVE_SCHUR
+    analogue): S dc = b with S = diag(dHcc) - Σ_pairs Y_a W_bᵀ applied
+    per OBSERVATION — S x = dHcc x - Y · segsum_pt(Wᵀ x) — so the
+    O(Σ track_len²) observation-pair list is never built at all and the
+    per-matvec work is O(O).  Replaces the pair-scatter assembly of
+    DENSE_SCHUR (/root/reference/src/lvba_system.cpp:1571-1576).
+
+    dHcc: (M, 6, 6) DAMPED camera diag blocks; W/Y: (O, 6, 3) coupling
+    and Y = W Hpp⁻¹; b: (M, 6) reduced rhs (row 0 already zeroed when
+    fix_first).  The block-Jacobi preconditioner uses the exact diagonal
+    of S when no camera observes the same point twice (the track builder
+    dedups per image); with duplicates it is still a valid approximate
+    preconditioner.  Returns dc (M, 6)."""
+    M = dHcc.shape[0]
+    dt = dHcc.dtype
+    with jax.default_matmul_precision("highest"):
+        cross = jax.ops.segment_sum(
+            jnp.einsum("omk,onk->omn", Y, W), obs_cam, num_segments=M
+        )
+        Dblk = dHcc - cross
+        eye = jnp.eye(6, dtype=dt)
+        if fix_first:
+            Dblk = Dblk.at[0].set(eye)
+        Minv = jnp.linalg.inv(Dblk + 1e-30 * eye)
+
+        def matvec(x):                                # (M, 6) -> (M, 6)
+            xm = x.at[0].set(0.0) if fix_first else x
+            wx = jnp.einsum("omk,om->ok", W, xm[obs_cam])       # (O, 3)
+            tp = jax.ops.segment_sum(wx, obs_pt, num_segments=num_pts)
+            yo = jnp.einsum("omk,ok->om", Y, tp[obs_pt])        # (O, 6)
+            y = jnp.einsum("mab,mb->ma", dHcc, xm) - jax.ops.segment_sum(
+                yo, obs_cam, num_segments=M
+            )
+            if fix_first:
+                y = y.at[0].set(x[0])
+            return y
+
+        def precond(r):
+            return jnp.einsum("wab,wb->wa", Minv, r)
+
+        x = jnp.zeros_like(b)
+        r = b
+        z = precond(r)
+        p = z
+        rz = jnp.vdot(r, z)
+        b2 = jnp.maximum(jnp.vdot(b, b), 1e-300)
+
+        def body(_i, s):
+            x, r, p, rz, done = s
+            Ap = matvec(p)
+            denom = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            x_n = x + alpha * p
+            r_n = r - alpha * Ap
+            z_n = precond(r_n)
+            rz_n = jnp.vdot(r_n, z_n)
+            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+            p_n = z_n + beta * p
+            conv = jnp.vdot(r_n, r_n) / b2 < tol * tol
+            frz = lambda new, old: jnp.where(done, old, new)
+            return (
+                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
+                done | conv,
+            )
+
+        x, r, p, rz, done = jax.lax.fori_loop(
+            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
+        )
+        return x
+
+
 def solve_damped_cg(
     H: jnp.ndarray,
     g: jnp.ndarray,

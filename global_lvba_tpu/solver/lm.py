@@ -108,9 +108,8 @@ def lm_damping_iter(
     "cg" (block-Jacobi preconditioned CG whose matvec distributes over the
     `h_sharding` row sharding — solver/dist_solve.py), "cg_mf" (MATRIX-FREE
     CG: the (6W)² Hessian is never assembled; H·x applies straight from
-    compact factor rows, skipping the Gram product that dominates the
-    factor evaluation at large W), or "auto" (cg_mf once 6W >= 1536 when
-    unsharded, cg when sharded, else LU).
+    compact factor rows — opt-in, wins when voxel observation counts are
+    sparse relative to W), or "auto" (cg once 6W >= 1536, else LU).
     """
     return _lm_jitted(
         tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
@@ -137,13 +136,13 @@ def _lm_jitted(
     solver = reduced_solver
     if solver == "auto":
         # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
-        # steps); once the state is large, matrix-free CG wins — and it
-        # never even forms the (6W)² Hessian.  The GSPMD-sharded dense CG
-        # remains the choice when an explicit H row-sharding is requested.
-        if 6 * W >= 1536:
-            solver = "cg" if h_sharding is not None else "cg_mf"
-        else:
-            solver = "lu"
+        # steps); preconditioned CG wins once the state is large.  The
+        # matrix-free path (cg_mf) stays OPT-IN: it wins when voxel
+        # observation counts are sparse (K ≪ W), but on densely-coupled
+        # problems (every frame observing shared planes, K ~ W) the
+        # per-matvec (ΣVK, W) one-hot traffic exceeds the one-time Gram
+        # (measured 17x slower at W = 512 on the dense synthetic scene)
+        solver = "cg" if 6 * W >= 1536 else "lu"
 
     if solver == "cg_mf":
         return _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol,
@@ -173,7 +172,11 @@ def _lm_jitted(
         if solver == "cg":
             from .dist_solve import solve_damped_cg
 
-            dx = solve_damped_cg(H, g, u, h_sharding=h_sharding)
+            # 96 fixed trips = 4x margin over the measured convergence
+            # (22 iterations at W = 512, tol 1e-10 rel); the fixed-trip
+            # loop always executes every iteration, so headroom is cost
+            dx = solve_damped_cg(H, g, u, h_sharding=h_sharding,
+                                 max_iters=96)
         else:
             dx = _solve_damped(H, g, u)
         dxp = dx.reshape(W, 6)

@@ -54,8 +54,10 @@ class VisualBAProblem:
     fix_first: bool = True
     # "lu": replicated direct solve of the reduced camera system; "cg":
     # block-Jacobi preconditioned CG whose matvec row-shards over the mesh
-    # (solver/dist_solve.py) — the large-M scaling path; "auto" picks CG
-    # once 6M >= 1024 (TPU LU lowers poorly at size)
+    # (solver/dist_solve.py); "cg_mf": MATRIX-FREE CG applying S per
+    # observation — the O(Σ track_len²) pair list is never built (the
+    # long-track scaling path); "auto" picks by size and pair count
+    # (_auto_solver)
     reduced_solver: str = "auto"
     # when the observation-pair list exceeds this, the Schur scatter runs
     # as a lax.scan over fixed-size chunks so peak memory is bounded at
@@ -195,6 +197,21 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
         jnp.einsum("omk,ok->om", Y, g_p[obs_pt]), obs_cam, num_segments=M
     )
 
+    solver = prob.reduced_solver
+    if solver == "auto":
+        solver = _auto_solver(M, pairs_sharded, int(pair_a.shape[0]))
+    if solver == "cg_mf":
+        # matrix-free reduced camera system (Ceres ITERATIVE_SCHUR
+        # analogue): S x applies per OBSERVATION — the O(Σ track_len²)
+        # pair list is never built and no (6M)² matrix is formed
+        from .dist_solve import solve_schur_cg_mf
+
+        bb = b.at[0].set(0.0) if prob.fix_first else b
+        dc = solve_schur_cg_mf(
+            dHcc, W, Y, obs_cam, obs_pt, bb, P, fix_first=prob.fix_first
+        )
+        return _backsub(prob, cache, consts, Hpp_inv, W, dc, u)
+
     # Schur matrix: diag Hcc − Σ_pairs Y_a W_bᵀ
     Q = pair_a.shape[0]
     if Q > prob.pair_chunk and not pairs_sharded:
@@ -236,9 +253,6 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
 
     A = jnp.transpose(S, (0, 2, 1, 3)).reshape(M * 6, M * 6)
     rhs = b.reshape(M * 6)
-    solver = prob.reduced_solver
-    if solver == "auto":
-        solver = "cg" if M * 6 >= 1024 else "lu"
     if solver == "cg":
         # distributed path: A is already damped (dHcc) and made nonsingular
         # by fix_first; CG solves A dc = rhs with zero extra damping
@@ -253,14 +267,36 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
         resd = rhs - A @ dc
         dc = dc + jax.scipy.linalg.lu_solve((lu, piv), resd)
     dc = dc.reshape(M, 6)
+    return _backsub(prob, cache, consts, Hpp_inv, W, dc, u)
 
-    # landmark back-substitution: dX = Hpp⁻¹(−g_p − Σ W_oᵀ dc_{cam_o})
+
+def _auto_solver(M: int, pairs_sharded: bool, Q: int = 0) -> str:
+    """auto policy.  The matrix-free path wins when the observation-pair
+    count Q = Σ track_len² explodes (long tracks): its per-matvec work is
+    O(O) regardless of Q, while the pair-scatter assembly is O(Q) per LM
+    iteration (measured, M = 200 / O within 20-40k: at Q = 200k the pair
+    path wins ~1.5x because the fixed-trip CG always executes 256
+    matvecs; at Q = 2M the matrix-free path wins 2.05x — 383 vs 786
+    ms/iter, identical convergence).  Otherwise: CG once 6M >= 1024
+    (TPU LU lowers poorly at size), LU below."""
+    if Q > (1 << 20) and not pairs_sharded:
+        return "cg_mf"
+    if M * 6 >= 1024:
+        return "cg"
+    return "lu"
+
+
+def _backsub(prob, cache: _LinCache, consts, Hpp_inv, W, dc, u):
+    """Landmark back-substitution + predicted model decrease."""
+    _, obs_cam, obs_pt, _, _, _, _ = consts
+    P = prob.num_pts
+    g_c, g_p, Hcc, Hpp = cache.g_c, cache.g_p, cache.Hcc, cache.Hpp
+    # dX = Hpp⁻¹(−g_p − Σ W_oᵀ dc_{cam_o})
     wtdc = jax.ops.segment_sum(
         jnp.einsum("omk,om->ok", W, dc[obs_cam]), obs_pt, num_segments=P
     )
     dX = jnp.einsum("pmn,pn->pm", Hpp_inv, -g_p - wtdc)
 
-    # predicted model decrease for the damping schedule:
     # q1 = 0.5 dxᵀ(u D dx − g) over the full (camera+point) system
     d_cc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
     d_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
@@ -299,7 +335,22 @@ def solve_visual_ba(
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-    pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
+    resolved = prob.reduced_solver
+    if resolved == "auto":
+        counts = np.bincount(
+            np.asarray(prob.obs_pt), minlength=prob.num_pts
+        ).astype(np.int64)
+        resolved = _auto_solver(
+            prob.num_cams, pairs_sharded=mesh is not None,
+            Q=int((counts ** 2).sum()),
+        )
+        prob = dataclasses.replace(prob, reduced_solver=resolved)
+    if resolved == "cg_mf":
+        # matrix-free reduced solve: the O(Σ track_len²) pair list is
+        # never needed (host memory included)
+        pair_a = pair_b = np.zeros(0, np.int32)
+    else:
+        pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
     obs_cam = np.asarray(prob.obs_cam, np.int32)
     obs_pt = np.asarray(prob.obs_pt, np.int32)
     obs_uv = np.asarray(prob.obs_uv)

@@ -220,3 +220,13 @@ class TestDistSolve:
         np.testing.assert_allclose(
             np.asarray(r_ch.X), np.asarray(r_lu.X), rtol=0, atol=1e-9
         )
+        # MATRIX-FREE reduced solve (no pair list at all) must also match
+        prob_mf = dataclasses.replace(prob, reduced_solver="cg_mf")
+        r_mf = solve_visual_ba(prob_mf, Rp, tp, X0, max_iters=15)
+        assert r_mf.cost < 0.9 * r_mf.cost0
+        np.testing.assert_allclose(
+            np.asarray(r_mf.t), np.asarray(r_lu.t), rtol=0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mf.X), np.asarray(r_lu.X), rtol=0, atol=1e-8
+        )
