@@ -242,10 +242,13 @@ def bench_w512():
 
     res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
     np.asarray(res.R)
-    t0 = time.perf_counter()
-    res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
-    np.asarray(res.R)
-    dt = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
+        np.asarray(res.R)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
     from global_lvba_tpu.models.synthetic import ate_rmse
 
     return dt / ITERS * 1e3, ate_rmse(pp, scene.p_true), ate_rmse(
@@ -299,11 +302,15 @@ def bench_visual_m200():
         Rp[m] = Rcw[m] @ _exp_so3(rng.normal(scale=0.002, size=3))
         tp[m] = tcw[m] + rng.normal(scale=0.01, size=3)
     r = solve_visual_ba(prob, Rp, tp, X, max_iters=ITERS)
-    t0 = time.perf_counter()
-    r = solve_visual_ba(prob, Rp, tp, X, max_iters=ITERS)
-    np.asarray(r.R)
-    dt = time.perf_counter() - t0
-    return dt / ITERS * 1e3, int(obs_cam.shape[0]), float(r.cost0), float(r.cost)
+    # min-of-3: a single timed run through the tunnel can hit a
+    # multi-hundred-ms transport stall and misreport the solver by 3-4x
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = solve_visual_ba(prob, Rp, tp, X, max_iters=ITERS)
+        np.asarray(r.R)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / ITERS * 1e3, int(obs_cam.shape[0]), float(r.cost0), float(r.cost)
 
 
 def main():

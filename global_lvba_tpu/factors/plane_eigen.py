@@ -31,6 +31,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..map.voxelize import PlaneFactorBucket
 from ..ops.eigh3 import eigh3x3, eigh3_soa, eigvals3_soa
@@ -282,83 +283,94 @@ def plane_cost_grad_hess(
     return resid, g, H
 
 
-def frame_onehot(fa: PlaneFactorArrays, W: int, dtype=None) -> jnp.ndarray:
-    """(V*K, W) one-hot of the bucket's frame ids — the reusable operand of
-    every frame-indexed MXU reduction (TPU scatters serialize).  Computed
-    once per solve and shared by the gradient/diag reductions and the
-    matrix-free matvec's scatter-back."""
-    dtype = dtype or fa.n.dtype
-    fid = fa.frame.reshape(-1)
-    return (fid[:, None] == jnp.arange(W, dtype=fid.dtype)).astype(dtype)
+def _frame_table_np(frame: "np.ndarray", n: "np.ndarray", W: int) -> "np.ndarray":
+    """(W, Kf) frame-major index table over the FLAT (v, k) entries: row w
+    lists every valid entry observing frame w, padded with the sentinel
+    index V*K (which gathers an all-zero row).  Kf = max entries per
+    frame, rounded up to 8 for tiling."""
+    flat_f = frame.reshape(-1).astype(np.int64)
+    valid = n.reshape(-1) > 0
+    sel = np.flatnonzero(valid)
+    fsel = flat_f[sel]
+    order = np.argsort(fsel, kind="stable")
+    sel = sel[order]
+    fsel = fsel[order]
+    counts = np.bincount(fsel, minlength=W)
+    Kf = max(int(counts.max()), 1)
+    Kf = (Kf + 7) // 8 * 8
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.full((W, Kf), flat_f.size, np.int32)
+    if fsel.size:
+        pos = np.arange(fsel.size) - starts[fsel]
+        idx[fsel, pos] = sel.astype(np.int32)
+    return idx
+
+
+def frame_gather_table(fa: PlaneFactorArrays, W: int) -> jnp.ndarray:
+    """Device (W, Kf) frame-major gather table for a bucket (host-built
+    from the bucket's frame ids/masks — one small fetch per solve).  The
+    reusable operand of every frame-indexed reduction in the matrix-free
+    path: TPU scatters serialize, and the (V*K, W) one-hot matmul this
+    replaces costs O(V K W) traffic PER CALL (≈1 GB per CG matvec at
+    W = 512 on dense scenes), while the gather+reduce is O(V K)."""
+    return jnp.asarray(
+        _frame_table_np(np.asarray(fa.frame), np.asarray(fa.n), W)
+    )
+
+
+def segsum_table(z: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
+    """Frame-indexed segment sum of flat per-entry values z (VK, C...) via
+    the gather table: (W, Kf, C...) row gather + exact dense tree-reduce."""
+    zpad = jnp.concatenate([z, jnp.zeros((1,) + z.shape[1:], z.dtype)])
+    return jnp.sum(zpad[tbl], axis=1)
 
 
 def plane_cost_grad_rows(
-    fa: PlaneFactorArrays, R, p, W: int, oh: jnp.ndarray
+    fa: PlaneFactorArrays, R, p, W: int, tbl: jnp.ndarray
 ):
     """Compact linearization for the MATRIX-FREE damped solve.
 
     Returns (resid, g (W, 6), Hd (W, 6, 6), rows (V, K, 18)) such that the
     full Hessian is H = scatter_diag(Hd) - MᵀM with M the one-hot
     frame-expansion of `rows` — but M is never materialized and no (6W)²
-    Gram is formed.  The expansion + Gram are ~3/4 of the factor
-    evaluation at W = 512; the CG solver applies H directly from the
-    compact rows instead (solver/dist_solve.py:solve_damped_cg_rows).
-    Same per-voxel math as acc_evaluate2 (/root/reference/include/BALM/
-    bavoxel.hpp:68-174) restated as factor rows.
+    Gram is formed; the CG solver applies H directly from the compact
+    rows (solver/dist_solve.py:solve_damped_cg_rows).  Same per-voxel
+    math as acc_evaluate2 (/root/reference/include/BALM/bavoxel.hpp:68-174)
+    restated as factor rows.  tbl: frame_gather_table(fa, W).
     """
     V, K = fa.n.shape
     resid, jjt6, D36, rows18 = _soa_core(fa, R, p, W)
-    hi = jax.lax.Precision.HIGHEST
-    g = jax.lax.dot_general(
-        oh, jjt6.reshape(V * K, 6),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=fa.n.dtype, precision=hi,
-    )                                                   # (W, 6)
-    Hd = jax.lax.dot_general(
-        oh, D36.reshape(V * K, 36),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=fa.n.dtype, precision=hi,
-    ).reshape(W, 6, 6)
+    g = segsum_table(jjt6.reshape(V * K, 6), tbl)        # (W, 6)
+    Hd = segsum_table(D36.reshape(V * K, 36), tbl).reshape(W, 6, 6)
     return resid, g, Hd, rows18
 
 
-def plane_rows_cross_diag(rows18: jnp.ndarray, oh: jnp.ndarray, W: int):
+def plane_rows_cross_diag(rows18: jnp.ndarray, tbl: jnp.ndarray, W: int):
     """Per-frame 6x6 diagonal blocks of MᵀM from compact rows: each voxel
     observes a frame at most once, so block_w = Σ_{(v,k): f=w} Σ_r
-    rows_{vkr}ᵀ rows_{vkr} — one one-hot reduction of the per-entry
-    36-component outer products."""
+    rows_{vkr}ᵀ rows_{vkr}."""
     V, K = rows18.shape[:2]
     r3 = rows18.reshape(V, K, 3, 6)
     P36 = jnp.einsum("vkrc,vkrd->vkcd", r3, r3).reshape(V * K, 36)
-    hi = jax.lax.Precision.HIGHEST
-    return jax.lax.dot_general(
-        oh, P36,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=rows18.dtype, precision=hi,
-    ).reshape(W, 6, 6)
+    return segsum_table(P36, tbl).reshape(W, 6, 6)
 
 
 def plane_rows_matvec(
-    rows18: jnp.ndarray, frame: jnp.ndarray, oh: jnp.ndarray, x: jnp.ndarray
+    rows18: jnp.ndarray, frame: jnp.ndarray, tbl: jnp.ndarray, x: jnp.ndarray
 ) -> jnp.ndarray:
     """Cross-term matvec (MᵀM) @ x from compact factor rows.
 
     x: (W, 6).  Per voxel: s_r = Σ_{k,c} rows_{vkrc} x[f_vk, c] (the
     gather rides the same row-gather XLA path as R[fa.frame] in the
-    factor core), then z_{vkc} = Σ_r rows_{vkrc} s_r scatter-adds back by
-    frame as one one-hot MXU matmul.  O(V K) work + one (VK, W) matmul —
-    never the (6W)² Gram."""
+    factor core), then z_{vkc} = Σ_r rows_{vkrc} s_r sums back by frame
+    through the gather table.  O(V K) work per matvec — never the (6W)²
+    Gram, never a (VK, W) one-hot."""
     V, K = rows18.shape[:2]
     r3 = rows18.reshape(V, K, 3, 6)
     xg = x[frame]                                        # (V, K, 6)
     s = jnp.einsum("vkrc,vkc->vr", r3, xg)               # (V, 3)
     z = jnp.einsum("vkrc,vr->vkc", r3, s)                # (V, K, 6)
-    hi = jax.lax.Precision.HIGHEST
-    return jax.lax.dot_general(
-        oh, z.reshape(V * K, 6),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=rows18.dtype, precision=hi,
-    )                                                    # (W, 6)
+    return segsum_table(z.reshape(V * K, 6), tbl)        # (W, 6)
 
 
 # ---------------------------------------------------------------------------

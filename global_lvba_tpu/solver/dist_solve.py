@@ -42,7 +42,7 @@ def _block_jacobi_inv(A: jnp.ndarray, bsize: int) -> jnp.ndarray:
 def solve_damped_cg_rows(
     rows_list,
     frame_list,
-    oh_list,
+    tbl_list,
     Hd: jnp.ndarray,
     g: jnp.ndarray,
     u: jnp.ndarray,
@@ -53,21 +53,21 @@ def solve_damped_cg_rows(
     H = scatter_diag(Hd) - MᵀM is applied straight from compact factor
     rows (factors/plane_eigen.py:plane_rows_matvec) — the (6W, 6W) Gram
     product, its HBM materialization, and the LU are all skipped.  This
-    is the large-W scaling path: per-iteration work is O(V K) + one
-    (VK, W) one-hot matmul, vs O((6W)²) to even form H.
+    is the large-W scaling path: per-matvec work is O(V K).
 
-    rows_list/frame_list/oh_list: per-bucket (V, K, 18) rows, (V, K)
-    frame ids, (V*K, W) one-hot operands.  Hd: (W, 6, 6) diagonal
-    extras; g: (W, 6).  Returns (dx (6W,), d (6W,)) with d = diag(H)
-    (the LM gain-ratio denominator needs it)."""
+    rows_list/frame_list/tbl_list: per-bucket (V, K, 18) rows, (V, K)
+    frame ids, (W, Kf) frame-major gather tables
+    (plane_eigen.frame_gather_table).  Hd: (W, 6, 6) diagonal extras;
+    g: (W, 6).  Returns (dx (6W,), d (6W,)) with d = diag(H) (the LM
+    gain-ratio denominator needs it)."""
     from ..factors.plane_eigen import plane_rows_cross_diag, plane_rows_matvec
 
     W = Hd.shape[0]
     dt = Hd.dtype
     with jax.default_matmul_precision("highest"):
         Dblk = Hd - sum(
-            plane_rows_cross_diag(r, oh, W)
-            for r, oh in zip(rows_list, oh_list)
+            plane_rows_cross_diag(r, tbl, W)
+            for r, tbl in zip(rows_list, tbl_list)
         )                                             # true 6x6 diag blocks
         d = jnp.diagonal(Dblk, axis1=1, axis2=2)      # (W, 6) = diag(H)
         eye = jnp.eye(6, dtype=dt)
@@ -77,8 +77,8 @@ def solve_damped_cg_rows(
 
         def matvec(x):                                # (W, 6) -> (W, 6)
             y = jnp.einsum("wab,wb->wa", Hd, x) + u * d * x
-            for r, f, oh in zip(rows_list, frame_list, oh_list):
-                y = y - plane_rows_matvec(r, f, oh, x)
+            for r, f, tbl in zip(rows_list, frame_list, tbl_list):
+                y = y - plane_rows_matvec(r, f, tbl, x)
             return y
 
         def precond(r):

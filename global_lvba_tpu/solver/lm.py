@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
     PlaneFactorArrays,
-    frame_onehot,
+    frame_gather_table,
     plane_cost,
     plane_cost_grad_hess,
     plane_cost_grad_rows,
@@ -108,12 +108,33 @@ def lm_damping_iter(
     "cg" (block-Jacobi preconditioned CG whose matvec distributes over the
     `h_sharding` row sharding — solver/dist_solve.py), "cg_mf" (MATRIX-FREE
     CG: the (6W)² Hessian is never assembled; H·x applies straight from
-    compact factor rows — opt-in, wins when voxel observation counts are
-    sparse relative to W), or "auto" (cg once 6W >= 1536, else LU).
+    compact factor rows — opt-in; on this hardware the Gram wins up to
+    W≈4-8k, see the auto-policy note), or "auto" (cg once 6W >= 1536,
+    else LU).
     """
+    W = R0.shape[0]
+    solver = str(reduced_solver)
+    if solver == "auto":
+        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
+        # steps); preconditioned CG wins once the state is large.  The
+        # matrix-free path (cg_mf) stays OPT-IN: its per-matvec row
+        # gathers serialize on TPU, so the one-time Gram (one dense MXU
+        # pass) beats it even at sparse coupling (measured: corridor
+        # W=1024, max 59 observers — Gram-CG 162 vs rows-CG 970 ms/iter);
+        # single-chip Gram holds to W≈4-8k anchors, beyond which the
+        # window→anchor hierarchy + Morton sharding scale out
+        solver = "cg" if 6 * W >= 1536 else "lu"
+    if solver == "cg_mf":
+        # frame-major gather tables, host-built once per solve (small
+        # fetch of the frame/occupancy arrays)
+        tables = tuple(frame_gather_table(fa, W) for fa in buckets)
+        return _lm_rows_jitted(
+            tuple(buckets), tables, R0, p0, int(max_iters), float(u_init),
+            float(v_init), float(rel_tol),
+        )
     return _lm_jitted(
         tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
-        float(rel_tol), h_sharding, str(reduced_solver),
+        float(rel_tol), h_sharding, solver,
     )
 
 
@@ -132,21 +153,7 @@ def _lm_jitted(
     W = R0.shape[0]
     g_size = sum(int(fa.n.shape[0]) for fa in buckets)
     g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
-
     solver = reduced_solver
-    if solver == "auto":
-        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
-        # steps); preconditioned CG wins once the state is large.  The
-        # matrix-free path (cg_mf) stays OPT-IN: it wins when voxel
-        # observation counts are sparse (K ≪ W), but on densely-coupled
-        # problems (every frame observing shared planes, K ~ W) the
-        # per-matvec (ΣVK, W) one-hot traffic exceeds the one-time Gram
-        # (measured 17x slower at W = 512 on the dense synthetic scene)
-        solver = "cg" if 6 * W >= 1536 else "lu"
-
-    if solver == "cg_mf":
-        return _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol,
-                        W, g_size_f)
 
     def cgh(R, p):
         r, g, H = _total_cgh(buckets, R, p, W, h_sharding)
@@ -233,7 +240,9 @@ def _lm_jitted(
     return LMResult(R=R, p=p, iters=it, residual=res1)
 
 
-def _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol, W, g_size_f):
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _lm_rows_jitted(buckets, tables, R0, p0, max_iters, u_init, v_init,
+                    rel_tol):
     """Matrix-free LM: same Nielsen damping / one-evaluation-per-iteration
     loop as the dense path, but the linearization is carried as COMPACT
     per-bucket factor rows (V, K, 18) + diag extras — the (6W)² Gram that
@@ -242,9 +251,9 @@ def _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol, W, g_size_f):
     (solver/dist_solve.py:solve_damped_cg_rows)."""
     from .dist_solve import solve_damped_cg_rows
 
-    # one-hot frame operands: constant across the whole solve, shared by
-    # the gradient/diag reductions and every CG matvec's scatter-back
-    ohs = tuple(frame_onehot(fa, W, R0.dtype) for fa in buckets)
+    W = R0.shape[0]
+    g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+    g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
     frames = tuple(fa.frame for fa in buckets)
 
     def eval_rows(R, p):
@@ -252,8 +261,8 @@ def _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol, W, g_size_f):
         g = jnp.zeros((W, 6), R0.dtype)
         Hd = jnp.zeros((W, 6, 6), R0.dtype)
         rows = []
-        for fa, oh in zip(buckets, ohs):
-            r_, g_, Hd_, rows_ = plane_cost_grad_rows(fa, R, p, W, oh)
+        for fa, tbl in zip(buckets, tables):
+            r_, g_, Hd_, rows_ = plane_cost_grad_rows(fa, R, p, W, tbl)
             resid, g, Hd = resid + r_, g + g_, Hd + Hd_
             rows.append(rows_)
         return resid / g_size_f, g, Hd, tuple(rows)
@@ -275,7 +284,7 @@ def _lm_rows(buckets, R0, p0, max_iters, u_init, v_init, rel_tol, W, g_size_f):
 
     def body_fn(_i, s):
         R, p, u, v, res1, g, Hd, rows, it, done = s
-        dx, d = solve_damped_cg_rows(rows, frames, ohs, Hd, g, u)
+        dx, d = solve_damped_cg_rows(rows, frames, tables, Hd, g, u)
         dxp = dx.reshape(W, 6)
         R_t, p_t = boxplus_pose(R, p, dxp)
         q1 = 0.5 * jnp.dot(dx, u * d * dx - g.reshape(-1)) / g_size_f

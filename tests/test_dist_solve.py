@@ -93,7 +93,7 @@ class TestDistSolve:
         LM with reduced_solver='cg_mf' matches the LU trajectory."""
         from global_lvba_tpu.factors.padding import buckets_to_device
         from global_lvba_tpu.factors.plane_eigen import (
-            frame_onehot, plane_cost_grad_hess, plane_cost_grad_rows,
+            frame_gather_table, plane_cost_grad_hess, plane_cost_grad_rows,
             plane_rows_cross_diag, plane_rows_matvec,
         )
         from global_lvba_tpu.map.voxelize import build_voxel_map
@@ -116,8 +116,8 @@ class TestDistSolve:
         x = jnp.asarray(rng.normal(size=(W, 6)))
         for fa in buckets:
             r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W)
-            oh = frame_onehot(fa, W)
-            r2, g2, Hd2, rows2 = plane_cost_grad_rows(fa, R, p, W, oh)
+            tbl = frame_gather_table(fa, W)
+            r2, g2, Hd2, rows2 = plane_cost_grad_rows(fa, R, p, W, tbl)
             assert abs(float(r1 - r2)) < 1e-12
             np.testing.assert_allclose(
                 np.asarray(g1).reshape(-1), np.asarray(g2).reshape(-1),
@@ -125,12 +125,12 @@ class TestDistSolve:
             )
             Hx1 = (H1.reshape(W * 6, W * 6) @ x.reshape(-1)).reshape(W, 6)
             Hx2 = jnp.einsum("wab,wb->wa", Hd2, x) - plane_rows_matvec(
-                rows2, fa.frame, oh, x
+                rows2, fa.frame, tbl, x
             )
             scale = float(jnp.abs(Hx1).max()) + 1.0
             assert float(jnp.abs(Hx1 - Hx2).max()) < 1e-12 * scale
             Dblk1 = H1.reshape(W, 6, W, 6)[jnp.arange(W), :, jnp.arange(W), :]
-            Dblk2 = Hd2 - plane_rows_cross_diag(rows2, oh, W)
+            Dblk2 = Hd2 - plane_rows_cross_diag(rows2, tbl, W)
             assert float(jnp.abs(Dblk1 - Dblk2).max()) < 1e-12 * scale
 
         res_lu = lm_damping_iter(buckets, R, p, max_iters=10,

@@ -75,3 +75,31 @@ class TestLM:
         )
         err_after = ate_rmse(np.asarray(res.p, dtype=np.float64), scene.p_true)
         assert err_after < 0.02
+
+
+class TestCorridor:
+    def test_corridor_sparse_coupling_matrix_free(self):
+        """Corridor scene (K << W sparse factor coupling): matrix-free LM
+        == LU, and BA improves the trajectory."""
+        from global_lvba_tpu.models.synthetic import make_corridor_scene
+
+        W = 48
+        scene = make_corridor_scene(num_frames=W, points_per_frame=1200,
+                                    seed=3)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = [
+            bucket_to_device(b, dtype=jnp.float64) for b in vm.buckets
+        ]
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.004, 0.012,
+                               seed=1)
+        r_lu = lm_damping_iter(buckets, jnp.asarray(Rp), jnp.asarray(pp),
+                               max_iters=10, reduced_solver="lu")
+        r_mf = lm_damping_iter(buckets, jnp.asarray(Rp), jnp.asarray(pp),
+                               max_iters=10, reduced_solver="cg_mf")
+        ate0 = ate_rmse(pp, scene.p_true)
+        ate_lu = ate_rmse(np.asarray(r_lu.p), scene.p_true)
+        assert ate_lu < 0.6 * ate0, (ate0, ate_lu)
+        assert float(jnp.abs(r_lu.p - r_mf.p).max()) < 1e-10
