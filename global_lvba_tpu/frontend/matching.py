@@ -125,6 +125,18 @@ def match_pair_arrays(
     return np.stack([i, j[i]], axis=-1).astype(np.int32)
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _vmatch_chunk(ia, ib, d_all, v_all, distmax, ratiomax):
+    """One vmapped chunk of pair matches.  Module-level jit so descriptor
+    stacks travel as ARGUMENTS: a per-call closure both retraced every
+    match_all_pairs call and baked the descriptors in as constants."""
+    return jax.vmap(
+        lambda a, b: match_pair(
+            d_all[a], v_all[a], d_all[b], v_all[b], distmax, ratiomax
+        )
+    )(ia, ib)
+
+
 def match_all_pairs(
     descs: Sequence[np.ndarray],
     valids: Sequence[np.ndarray],
@@ -154,20 +166,14 @@ def match_all_pairs(
     if same_shape and len(pairs) > 1:
         d_all = jnp.stack(dev_d)
         v_all = jnp.stack(dev_v)
-        vmatch = jax.jit(
-            jax.vmap(
-                lambda a, b: match_pair(
-                    d_all[a], v_all[a], d_all[b], v_all[b], distmax, ratiomax
-                )
-            )
-        )
         for s in range(0, len(pairs), chunk):
             block = pairs[s : s + chunk]
             # pad the chunk to a fixed size so one executable serves all
             padded = block + [block[-1]] * (chunk - len(block))
             ia = jnp.asarray([p[0] for p in padded], jnp.int32)
             ib = jnp.asarray([p[1] for p in padded], jnp.int32)
-            jj_c, ok_c = vmatch(ia, ib)
+            jj_c, ok_c = _vmatch_chunk(ia, ib, d_all, v_all, distmax,
+                                       ratiomax)
             jj_c = np.asarray(jj_c)
             ok_c = np.asarray(ok_c)
             for bi, (i, j) in enumerate(block):

@@ -19,6 +19,23 @@ from ..utils.progress import progress_bar
 
 log = logging.getLogger("global_lvba_tpu.frontend")
 
+_batched_extract_jit = None
+
+
+def _batched_extract(stack, params: SiftParams):
+    """Batched SIFT extraction through ONE module-level jit: repeat calls
+    with equal (batch shape, params) reuse the compiled executable — a
+    per-call jit closure retraces the full SIFT graph every invocation."""
+    import jax
+
+    global _batched_extract_jit
+    if _batched_extract_jit is None:
+        _batched_extract_jit = jax.jit(
+            lambda s, p: jax.vmap(lambda im: extract_sift(im, p))(s),
+            static_argnums=(1,),
+        )
+    return _batched_extract_jit(stack, params)
+
 
 def load_gray_image(path, width: int, height: int) -> np.ndarray:
     import cv2
@@ -54,10 +71,6 @@ def extract_images(
     descs: List = [None] * n
     valids: List = [None] * n
 
-    batched = jax.jit(
-        jax.vmap(lambda im: extract_sift(im, params)), static_argnums=()
-    )
-
     done = 0
     i = 0
     while i < n:
@@ -67,7 +80,7 @@ def extract_images(
             j += 1
         stack = jnp.asarray(np.stack(images[i:j]), jnp.float32)
         if j - i > 1:
-            feats = batched(stack)
+            feats = _batched_extract(stack, params)
         else:
             f = extract_sift(stack[0], params)
             feats = jax.tree_util.tree_map(lambda x: x[None], f)
@@ -110,7 +123,6 @@ def extract_images_pipelined(
 
     params = params or SiftParams()
     n = len(paths)
-    batched = jax.jit(jax.vmap(lambda im: extract_sift(im, params)))
 
     feats_batches = []
     with ThreadPoolExecutor(max_workers=decode_workers) as ex:
@@ -124,7 +136,7 @@ def extract_images_pipelined(
                     [stack, np.zeros((batch - (j - i),) + stack.shape[1:],
                                      stack.dtype)]
                 )
-            feats = batched(jnp.asarray(stack, jnp.float32))
+            feats = _batched_extract(jnp.asarray(stack, jnp.float32), params)
             feats_batches.append((i, j, feats))
             progress_bar(j, n)
             i = j

@@ -95,6 +95,31 @@ def _build_pairs(obs_pt: np.ndarray, num_pts: int):
     return pair_a.astype(np.int32), pair_b.astype(np.int32)
 
 
+class _ProbStatic(NamedTuple):
+    """Hashable static view of VisualBAProblem for the module-level jit:
+    only the scalar/flag fields the traced code reads (arrays travel as
+    jit ARGUMENTS so repeat solves with equal shapes reuse the compiled
+    executable instead of retracing — a fresh per-call jax.jit closure
+    was costing ~2 s of tracing per solve)."""
+
+    num_cams: int
+    num_pts: int
+    sigma_px: float
+    sigma_plane: float
+    use_plane: bool
+    fix_first: bool
+    reduced_solver: str
+    pair_chunk: int
+
+
+def _pstat(prob) -> "_ProbStatic":
+    return _ProbStatic(
+        int(prob.num_cams), int(prob.num_pts), float(prob.sigma_px),
+        float(prob.sigma_plane), bool(prob.use_plane), bool(prob.fix_first),
+        str(prob.reduced_solver), int(prob.pair_chunk),
+    )
+
+
 class _LinCache(NamedTuple):
     """u-independent linearization at one state, carried across rejected
     LM steps (the Ceres analogue: the Jacobian is re-evaluated only after
@@ -275,10 +300,10 @@ def _auto_solver(M: int, pairs_sharded: bool, Q: int = 0) -> str:
     count Q = Σ track_len² explodes (long tracks): its per-matvec work is
     O(O) regardless of Q, while the pair-scatter assembly is O(Q) per LM
     iteration (measured, M = 200 / O within 20-40k: at Q = 200k the pair
-    path wins ~1.5x because the fixed-trip CG always executes 256
-    matvecs; at Q = 2M the matrix-free path wins 2.05x — 383 vs 786
-    ms/iter, identical convergence).  Otherwise: CG once 6M >= 1024
-    (TPU LU lowers poorly at size), LU below."""
+    path wins 2.7x — 48.8 vs 129.6 ms/iter — because the fixed-trip CG
+    always executes its 256 matvecs; at Q = 2M the matrix-free path wins
+    1.57x — 239 vs 375 ms/iter — identical convergence).  Otherwise: CG
+    once 6M >= 1024 (TPU LU lowers poorly at size), LU below."""
     if Q > (1 << 20) and not pairs_sharded:
         return "cg_mf"
     if M * 6 >= 1024:
@@ -305,6 +330,67 @@ def _backsub(prob, cache: _LinCache, consts, Hpp_inv, W, dc, u):
         + jnp.sum(dX * (u * d_pp * dX - g_p))
     )
     return dc, dX, q1
+
+
+@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
+def _lm_device_loop(pstat, consts, pa, pb, R0_, t0_, X0_,
+                    max_iters, u_init, rel_tol, s_sharding, pairs_sharded):
+    """The whole LM as one fixed-trip jitted loop with done-masking.
+
+    Module-level jit: repeat solves with equal shapes/statics reuse the
+    compiled executable (per-call jit closures retraced the full graph
+    every solve, ~2 s/call at M = 200)."""
+    dtype = R0_.dtype
+    cache0 = _linearize(pstat, consts, R0_, t0_, X0_)
+    state = (
+        R0_, t0_, X0_, cache0,
+        jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+    )
+
+    def body(_i, s):
+        R_, t_, X_, cache_, u_, v_, it_, done_ = s
+        dc, dX, q1 = _solve_cached(pstat, consts, pa, pb, cache_, u_,
+                                   s_sharding=s_sharding,
+                                   pairs_sharded=pairs_sharded)
+        R_t = jnp.matmul(
+            R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
+        )
+        t_t = t_ + dc[:, 3:6]
+        X_t = X_ + dX
+        # one Jacobian evaluation per iteration, at the TRIAL point:
+        # its cost is the acceptance test, and on acceptance it IS
+        # the next iteration's linearization; a rejected step keeps
+        # the cached one (Ceres Evaluator-caching semantics) — no
+        # separate residual-only pass, no post-accept re-evaluation
+        cache_t = _linearize(pstat, consts, R_t, t_t, X_t)
+        c_prev_ = cache_.cost
+        c_new = cache_t.cost
+        q = c_prev_ - c_new
+        accept = q > 0
+        qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
+        u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+        u_new = jnp.where(accept, u_acc, u_ * v_)
+        v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
+        conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
+        stall = (~accept) & (u_new > 1e12)
+        frz = lambda new, old: jnp.where(done_, old, new)
+        sel = lambda new, old: frz(jnp.where(accept, new, old), old)
+        return (
+            sel(R_t, R_),
+            sel(t_t, t_),
+            sel(X_t, X_),
+            jax.tree.map(sel, cache_t, cache_),
+            frz(u_new, u_),
+            frz(v_new, v_),
+            jnp.where(done_, it_, it_ + 1),
+            done_ | conv | stall,
+        )
+
+    R_, t_, X_, cache_, u_, v_, it_, done_ = jax.lax.fori_loop(
+        0, max_iters, body, state
+    )
+    return R_, t_, X_, cache0.cost, cache_.cost, it_
 
 
 def solve_visual_ba(
@@ -406,71 +492,20 @@ def solve_visual_ba(
     t = put(np.asarray(t0).astype(dtype), False)
     X = put(np.asarray(X0).astype(dtype), False)
 
-    lin = jax.jit(partial(_linearize, prob, consts))
-    step = jax.jit(partial(_solve_cached, prob, consts, pa, pb,
-                           s_sharding=s_sharding, pairs_sharded=mesh is not None))
-
     if device_loop and not verbose:
-
-        @jax.jit
-        def run(R0_, t0_, X0_):
-            cache0 = _linearize(prob, consts, R0_, t0_, X0_)
-            state = (
-                R0_, t0_, X0_, cache0,
-                jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
-                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
-            )
-
-            def body(_i, s):
-                R_, t_, X_, cache_, u_, v_, it_, done_ = s
-                dc, dX, q1 = _solve_cached(prob, consts, pa, pb, cache_, u_,
-                                           s_sharding=s_sharding,
-                                           pairs_sharded=mesh is not None)
-                R_t = jnp.matmul(
-                    R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
-                )
-                t_t = t_ + dc[:, 3:6]
-                X_t = X_ + dX
-                # one Jacobian evaluation per iteration, at the TRIAL point:
-                # its cost is the acceptance test, and on acceptance it IS
-                # the next iteration's linearization; a rejected step keeps
-                # the cached one (Ceres Evaluator-caching semantics) — no
-                # separate residual-only pass, no post-accept re-evaluation
-                cache_t = _linearize(prob, consts, R_t, t_t, X_t)
-                c_prev_ = cache_.cost
-                c_new = cache_t.cost
-                q = c_prev_ - c_new
-                accept = q > 0
-                qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
-                u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
-                u_new = jnp.where(accept, u_acc, u_ * v_)
-                v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
-                conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
-                stall = (~accept) & (u_new > 1e12)
-                frz = lambda new, old: jnp.where(done_, old, new)
-                sel = lambda new, old: frz(jnp.where(accept, new, old), old)
-                return (
-                    sel(R_t, R_),
-                    sel(t_t, t_),
-                    sel(X_t, X_),
-                    jax.tree.map(sel, cache_t, cache_),
-                    frz(u_new, u_),
-                    frz(v_new, v_),
-                    jnp.where(done_, it_, it_ + 1),
-                    done_ | conv | stall,
-                )
-
-            R_, t_, X_, cache_, u_, v_, it_, done_ = jax.lax.fori_loop(
-                0, max_iters, body, state
-            )
-            return R_, t_, X_, cache0.cost, cache_.cost, it_
-
-        R_f, t_f, X_f, c0_j, c_f, it_j = run(R, t, X)
+        R_f, t_f, X_f, c0_j, c_f, it_j = _lm_device_loop(
+            _pstat(prob), consts, pa, pb, R, t, X,
+            int(max_iters), float(u_init), float(rel_tol),
+            s_sharding, mesh is not None,
+        )
         return VisualBAResult(
             R=R_f, t=t_f, X=X_f,
             iters=int(it_j), cost0=float(c0_j), cost=float(c_f),
         )
 
+    lin = jax.jit(partial(_linearize, prob, consts))
+    step = jax.jit(partial(_solve_cached, prob, consts, pa, pb,
+                           s_sharding=s_sharding, pairs_sharded=mesh is not None))
     cache = lin(R, t, X)
     c_prev = float(cache.cost)
     c0 = c_prev
