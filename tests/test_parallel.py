@@ -79,6 +79,19 @@ class TestVisualBASharded:
         np.testing.assert_allclose(
             np.asarray(res_s.X), np.asarray(res_l.X), atol=1e-7
         )
+        # matrix-free reduced solve under GSPMD observation sharding:
+        # its segment-sums/gathers must psum to the same solution
+        import dataclasses
+
+        prob_mf = dataclasses.replace(prob, reduced_solver="cg_mf")
+        res_m = solve_visual_ba(prob_mf, R, t_init, X_init, max_iters=15,
+                                mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(res_m.t), np.asarray(res_l.t), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_m.X), np.asarray(res_l.X), atol=1e-7
+        )
 
 
 class Test2DMesh:
