@@ -251,9 +251,54 @@ def bench_w512():
     dt = min(ts)
     from global_lvba_tpu.models.synthetic import ate_rmse
 
+    # FLOP accounting at the REPRESENTATIVE scale: the W=512 evaluation is
+    # Gram-matmul-dominated (the W=50 one is elementwise-dominated and
+    # underrepresents MXU utilization)
+    mfu = {}
+    try:
+        from global_lvba_tpu.solver.lm import _total_cgh
+
+        fn1 = jax.jit(lambda R_, p_: _total_cgh(buckets, R_, p_, W))
+        ca = fn1.lower(R, p).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        REPS = 6
+
+        @jax.jit
+        def eval_loop(R_, p_):
+            def body(_i, carry):
+                Rc, pc, acc = carry
+                r, g, H = _total_cgh(buckets, Rc, pc, W)
+                eps = r * jnp.asarray(1e-30, Rc.dtype)
+                return (Rc + eps, pc + eps, acc + r)
+
+            _, _, acc = jax.lax.fori_loop(
+                0, REPS, body, (R_, p_, jnp.zeros((), R_.dtype))
+            )
+            return acc
+
+        np.asarray(eval_loop(R, p))
+        ts2 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(eval_loop(R, p))
+            ts2.append(time.perf_counter() - t0)
+        dt_eval = min(ts2) / REPS
+        peak_tflops = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
+        achieved = flops / dt_eval / 1e12
+        mfu = {
+            "w512_eval_flops": flops,
+            "w512_eval_ms": round(dt_eval * 1e3, 2),
+            "w512_achieved_tflops": round(achieved, 2),
+            "w512_mfu_pct": round(100.0 * achieved / peak_tflops, 2),
+        }
+    except Exception as e:
+        mfu = {"w512_mfu_error": str(e)[:120]}
+
     return dt / ITERS * 1e3, ate_rmse(pp, scene.p_true), ate_rmse(
         np.asarray(res.p, np.float64), scene.p_true
-    )
+    ), mfu
 
 
 def bench_visual_m200():
@@ -334,9 +379,10 @@ def main():
         extras["sift_error"] = str(e)[:120]
 
     try:
-        ms, ate0, ate1 = bench_w512()
+        ms, ate0, ate1, w512_mfu = bench_w512()
         extras["w512_ms_per_iter"] = round(ms, 2)
         extras["w512_ate_m"] = [round(ate0, 5), round(ate1, 5)]
+        extras.update(w512_mfu)
     except Exception as e:
         extras["w512_error"] = str(e)[:120]
 
