@@ -206,3 +206,33 @@ def test_visual_ba_parity_engine_vs_oracle():
     assert post_orc < 0.6 * pre
     # the two optimizers must land on the same optimum (pixel-level parity)
     assert abs(post_eng - post_orc) < 0.05 * pre + 1e-4
+
+
+def test_corridor_lm_parity_engine_vs_oracle():
+    """Same parity gate on the corridor scene (sensor-range-limited
+    visibility, sparse factor coupling) — a different observation
+    topology from the box room the other gates use."""
+    from global_lvba_tpu.factors.padding import buckets_to_device
+    from global_lvba_tpu.map.voxelize import build_voxel_map
+    from global_lvba_tpu.models.synthetic import make_corridor_scene
+    from global_lvba_tpu.solver.lm import lm_damping_iter
+
+    scene = make_corridor_scene(num_frames=24, points_per_frame=1500, seed=7)
+    vm = build_voxel_map(
+        scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+        voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+    )
+    Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.006, 0.015, seed=2)
+
+    res_o = oc.oracle_damping_iter(vm.buckets, Rp, pp, max_iters=10)
+    buckets = buckets_to_device(vm, dtype=jnp.float64)
+    res_d = lm_damping_iter(
+        buckets, jnp.asarray(Rp), jnp.asarray(pp), max_iters=10
+    )
+
+    ate_init = ate_rmse(pp, scene.p_true)
+    ate_o = ate_rmse(res_o.p, scene.p_true)
+    ate_d = ate_rmse(np.asarray(res_d.p), scene.p_true)
+    assert ate_o < 0.6 * ate_init
+    assert ate_d < 0.6 * ate_init
+    assert ate_rmse(np.asarray(res_d.p), res_o.p) < 0.02 * ate_init + 1e-6
