@@ -98,38 +98,42 @@ def gather_voxel_points(gm: GridMap, voxel_keys: np.ndarray) -> np.ndarray:
     return gm.points[idx]
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _zbuffer_splat(cam: CameraModel, Rcw, tcw, pts, valid_in):
-    """Scatter-min depth map (H, W) from world points (N, 3)."""
+def _zbuffer_host(cam: CameraModel, Rcw, tcw, pts: np.ndarray) -> np.ndarray:
+    """Min-depth z-buffer (H, W) from world points — HOST rasterization.
+
+    Same distorted-pinhole projection as the reference
+    (/root/reference/src/lvba_system.cpp:885-901).  This runs on the host
+    because the points already live there (grid map), the output feeds
+    host PNG/bilinear fetch, and a sort-based min costs ~30 ms/image —
+    the previous device scatter-min spent ~335 ms/image through the
+    tunnel on per-image uploads + the serialized TPU scatter (13.4 s of
+    a 40-image pipeline)."""
     H, W = cam.height, cam.width
-    Xc = pts @ Rcw.T + tcw
+    Xc = pts.astype(np.float64) @ np.asarray(Rcw).T + np.asarray(tcw)
     Z = Xc[:, 2]
-    ok = valid_in & (Z >= 1e-3)
-    z_safe = jnp.where(ok, Z, 1.0)
-    xy = Xc[:, 0:2] / z_safe[:, None]
-    x, y = xy[:, 0], xy[:, 1]
+    sel = Z >= 1e-3
+    Xs = Xc[sel]
+    Zs = Z[sel]
+    x = Xs[:, 0] / Zs
+    y = Xs[:, 1] / Zs
     r2 = x * x + y * y
     radial = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2
     xd = x * radial + 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
     yd = y * radial + cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
-    u = (cam.fx * xd + cam.cx).astype(jnp.int32)
-    v = (cam.fy * yd + cam.cy).astype(jnp.int32)
-    ok = ok & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    lin = jnp.where(ok, v * W + u, H * W)  # invalid -> overflow slot
-    zb = jnp.full(H * W + 1, jnp.inf, dtype=pts.dtype)
-    zb = zb.at[lin].min(jnp.where(ok, Z, jnp.inf))
-    depth = zb[: H * W].reshape(H, W)
-    return jnp.where(jnp.isfinite(depth), depth, 0.0)
-
-
-def _pad_pow2(pts: np.ndarray, min_size: int = 1024):
-    n = pts.shape[0]
-    m = max(min_size, 1 << max(0, (n - 1).bit_length()))
-    out = np.zeros((m, 3), dtype=np.float32)
-    out[:n] = pts
-    valid = np.zeros(m, dtype=bool)
-    valid[:n] = True
-    return out, valid
+    with np.errstate(invalid="ignore"):
+        uu = np.clip(cam.fx * xd + cam.cx, -2**30, 2**30).astype(np.int32)
+        vv = np.clip(cam.fy * yd + cam.cy, -2**30, 2**30).astype(np.int32)
+    inb = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+    lin = (vv[inb].astype(np.int64) * W + uu[inb])
+    z_in = Zs[inb].astype(np.float32)
+    depth = np.zeros(H * W, np.float32)
+    if lin.size:
+        order = np.lexsort((z_in, lin))     # by pixel, then depth
+        lin_s = lin[order]
+        z_s = z_in[order]
+        first = np.concatenate([[True], lin_s[1:] != lin_s[:-1]])
+        depth[lin_s[first]] = z_s[first]    # min depth per pixel
+    return depth.reshape(H, W)
 
 
 def render_depth_maps(
@@ -148,15 +152,7 @@ def render_depth_maps(
         pts = gather_voxel_points(gm, vox)
         if pts.shape[0] == 0:
             continue
-        pts_p, valid = _pad_pow2(pts)
-        d = _zbuffer_splat(
-            cam,
-            jnp.asarray(Rcw_all[i], jnp.float32),
-            jnp.asarray(tcw_all[i], jnp.float32),
-            jnp.asarray(pts_p),
-            jnp.asarray(valid),
-        )
-        out[i] = np.asarray(d)
+        out[i] = _zbuffer_host(cam, Rcw_all[i], tcw_all[i], pts)
     return out
 
 

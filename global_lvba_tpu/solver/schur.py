@@ -209,6 +209,15 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
     eye6 = jnp.eye(6, dtype=R.dtype)
     eye3 = jnp.eye(3, dtype=R.dtype)
     dHcc = Hcc + u * eye6 * jnp.diagonal(Hcc, axis1=-2, axis2=-1)[..., None, :]
+    # cameras OUTSIDE every kept track have exactly-zero blocks — the
+    # multiplicative damping is then zero too and the reduced system is
+    # singular (NaN steps).  Ceres leaves residual-less parameter blocks
+    # constant (/root/reference/src/lvba_system.cpp:1578-1643 adds
+    # reprojection residuals only for kept tracks); the epsilon pins such
+    # cameras exactly (their reduced rhs is exactly zero -> dc = 0) and
+    # perturbs observed ones by ~1e-8 relative
+    dcc = jnp.diagonal(dHcc, axis1=-2, axis2=-1)
+    dHcc = dHcc + eye6 * (1e-8 * (1.0 + jnp.max(dcc)))
     dHpp = Hpp + u * eye3 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]
     # guard singular landmark blocks
     dHpp = dHpp + 1e-12 * eye3
@@ -534,6 +543,11 @@ def solve_visual_ba(
                 break
             c_prev = c_new
         else:
+            if verbose:
+                print(
+                    f"[visual LM] it={it} REJECT cost {c_prev:.6g} -> "
+                    f"{c_new:.6g} q1={float(q1):.3g} u={u:.2e}"
+                )
             u *= v
             v *= 2.0
             if u > 1e12:

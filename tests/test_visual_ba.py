@@ -211,3 +211,41 @@ class TestDepthFreeBA:
         )
         res = solve_visual_ba(prob, R, t_init, X_init, max_iters=30)
         assert res.cost < 1e-5 * res.cost0
+
+
+class TestUnobservedCameras:
+    def test_unobserved_camera_stays_fixed_and_solve_progresses(self):
+        """Cameras outside every track (zero observations) made the
+        reduced system exactly singular -> NaN steps -> the whole solve
+        silently no-opped.  They must be pinned (Ceres leaves
+        residual-less blocks constant) while the rest optimizes."""
+        import dataclasses
+
+        from global_lvba_tpu.solver.schur import VisualBAProblem, solve_visual_ba
+
+        R_all, t_all, X, pn, pd, oc, op, uv = make_visual_scene(M=8, P=120, seed=4)
+        M = len(R_all) + 2  # two extra cameras with NO observations
+        R0 = np.concatenate([np.stack(R_all), np.stack(R_all)[:2]])
+        t0 = np.concatenate([np.stack(t_all), np.stack(t_all)[:2] + 5.0])
+        rng = np.random.default_rng(7)
+        t_init = t0.copy()
+        t_init[1:] += rng.normal(scale=0.02, size=(M - 1, 3))
+        X_init = X + rng.normal(scale=0.03, size=X.shape)
+        prob = VisualBAProblem(
+            cam=CAM, obs_cam=oc, obs_pt=op, obs_uv=uv,
+            plane_n=pn, plane_d=pd, num_cams=M, num_pts=X.shape[0],
+        )
+        for solver in ("lu", "cg", "cg_mf"):
+            pr = dataclasses.replace(prob, reduced_solver=solver)
+            res = solve_visual_ba(pr, R0, t_init, X_init, max_iters=15)
+            assert np.isfinite(res.cost), solver
+            assert res.cost < 0.1 * res.cost0, (solver, res.cost0, res.cost)
+            # the unobserved cameras must not move
+            np.testing.assert_allclose(
+                np.asarray(res.t)[-2:], t_init[-2:], rtol=0, atol=1e-8,
+                err_msg=solver,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.R)[-2:], R0[-2:], rtol=0, atol=1e-8,
+                err_msg=solver,
+            )
