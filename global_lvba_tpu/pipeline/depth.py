@@ -10,8 +10,10 @@ Replicates buildGridMapFromOptimized + generateDepthWithVoxel
   * those points are projected through the distorted pinhole model and
     z-buffered to a min-depth map per integer pixel (Z >= 1e-3 gate).
 
-The z-buffer splat runs on device as a scatter-min — the TPU replacement
-for the reference's per-pixel CPU loop.
+The z-buffer rasterizes on the HOST (np.minimum.at per pixel): the points
+already live host-side in the grid map and the maps feed host PNG export
+and bilinear depth fetch; a device scatter-min cost ~335 ms/image through
+the remote-TPU link (uploads + serialized scatter).
 """
 
 from __future__ import annotations
@@ -92,9 +94,15 @@ def gather_voxel_points(gm: GridMap, voxel_keys: np.ndarray) -> np.ndarray:
     pos = pos[hit]
     if pos.size == 0:
         return np.zeros((0, 3), dtype=np.float32)
-    idx = np.concatenate(
-        [np.arange(s, s + c) for s, c in zip(gm.starts[pos], gm.counts[pos])]
-    )
+    # vectorized ragged-range expansion: a per-voxel np.arange list costs
+    # thousands of small allocations per image and dominated the depth
+    # stage at 200 images (~0.5 s/image)
+    starts = gm.starts[pos]
+    counts = gm.counts[pos]
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    idx = np.repeat(starts, counts) + within
     return gm.points[idx]
 
 
@@ -104,12 +112,16 @@ def _zbuffer_host(cam: CameraModel, Rcw, tcw, pts: np.ndarray) -> np.ndarray:
     Same distorted-pinhole projection as the reference
     (/root/reference/src/lvba_system.cpp:885-901).  This runs on the host
     because the points already live there (grid map), the output feeds
-    host PNG/bilinear fetch, and a sort-based min costs ~30 ms/image —
-    the previous device scatter-min spent ~335 ms/image through the
-    tunnel on per-image uploads + the serialized TPU scatter (13.4 s of
-    a 40-image pipeline)."""
+    host PNG/bilinear fetch, and np.minimum.at costs ~3 ms per 900k
+    points — the previous device scatter-min spent ~335 ms/image through
+    the tunnel on per-image uploads + the serialized TPU scatter (13.4 s
+    of a 40-image pipeline)."""
     H, W = cam.height, cam.width
-    Xc = pts.astype(np.float64) @ np.asarray(Rcw).T + np.asarray(tcw)
+    # f32 throughout: the output is a min depth per INTEGER pixel, and
+    # f32 projection at ~10 m range errs by ~1 um
+    Xc = pts.astype(np.float32) @ np.asarray(Rcw, np.float32).T + np.asarray(
+        tcw, np.float32
+    )
     Z = Xc[:, 2]
     sel = Z >= 1e-3
     Xs = Xc[sel]
@@ -126,13 +138,9 @@ def _zbuffer_host(cam: CameraModel, Rcw, tcw, pts: np.ndarray) -> np.ndarray:
     inb = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
     lin = (vv[inb].astype(np.int64) * W + uu[inb])
     z_in = Zs[inb].astype(np.float32)
-    depth = np.zeros(H * W, np.float32)
-    if lin.size:
-        order = np.lexsort((z_in, lin))     # by pixel, then depth
-        lin_s = lin[order]
-        z_s = z_in[order]
-        first = np.concatenate([[True], lin_s[1:] != lin_s[:-1]])
-        depth[lin_s[first]] = z_s[first]    # min depth per pixel
+    depth = np.full(H * W, np.inf, np.float32)
+    np.minimum.at(depth, lin, z_in)         # min depth per pixel
+    np.place(depth, ~np.isfinite(depth), 0.0)
     return depth.reshape(H, W)
 
 

@@ -70,13 +70,17 @@ def solve_damped_cg_rows(
             for r, tbl in zip(rows_list, tbl_list)
         )                                             # true 6x6 diag blocks
         d = jnp.diagonal(Dblk, axis1=1, axis2=2)      # (W, 6) = diag(H)
+        # same epsilon as _solve_damped: pins frames with exactly-zero
+        # rows (no factor observations) and keeps all solver paths
+        # solving the IDENTICAL damped system
+        eps = 1e-12 * (1.0 + jnp.max(jnp.abs(d)))
         eye = jnp.eye(6, dtype=dt)
         Minv = jnp.linalg.inv(
-            Dblk + (u * d)[:, :, None] * eye + 1e-30 * eye
+            Dblk + (u * d + eps)[:, :, None] * eye
         )
 
         def matvec(x):                                # (W, 6) -> (W, 6)
-            y = jnp.einsum("wab,wb->wa", Hd, x) + u * d * x
+            y = jnp.einsum("wab,wb->wa", Hd, x) + (u * d + eps) * x
             for r, f, tbl in zip(rows_list, frame_list, tbl_list):
                 y = y - plane_rows_matvec(r, f, tbl, x)
             return y
@@ -217,13 +221,16 @@ def solve_damped_cg(
     """
     with jax.default_matmul_precision("highest"):
         d = jnp.diagonal(H)
+        # same epsilon as _solve_damped (solver/lm.py): pins exactly-zero
+        # rows and keeps every solver path on the identical damped system
+        eps = 1e-12 * (1.0 + jnp.max(jnp.abs(d)))
         if h_sharding is not None:
             H = jax.lax.with_sharding_constraint(H, h_sharding)
 
         def matvec(x):
-            return H @ x + u * d * x
+            return H @ x + (u * d + eps) * x
 
-        Minv = _block_jacobi_inv(H + jnp.diag(u * d), bsize)
+        Minv = _block_jacobi_inv(H + jnp.diag(u * d + eps), bsize)
 
         def precond(r):
             W = r.shape[0] // bsize

@@ -77,7 +77,14 @@ def _solve_damped(H, g, u, refine: bool = True):
     iterations at highest)."""
     with jax.default_matmul_precision("highest"):
         d = jnp.diagonal(H)
-        A = H + jnp.diag(u * d)
+        # frames with no factor observations have exactly-zero rows (all
+        # their points in non-planar voxels): multiplicative damping is
+        # then zero too and the LU would NaN-poison the whole step.  The
+        # epsilon pins such frames exactly (their gradient is exactly
+        # zero -> dx = 0); the CG paths are naturally safe (zero residual
+        # rows stay zero)
+        eps = 1e-12 * (1.0 + jnp.max(jnp.abs(d)))
+        A = H + jnp.diag(u * d + eps)
         lu, piv = jax.scipy.linalg.lu_factor(A)
         dx = jax.scipy.linalg.lu_solve((lu, piv), -g)
         if refine:

@@ -217,7 +217,7 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
     # cameras exactly (their reduced rhs is exactly zero -> dc = 0) and
     # perturbs observed ones by ~1e-8 relative
     dcc = jnp.diagonal(dHcc, axis1=-2, axis2=-1)
-    dHcc = dHcc + eye6 * (1e-8 * (1.0 + jnp.max(dcc)))
+    dHcc = dHcc + eye6 * (1e-12 * (1.0 + jnp.max(dcc)))
     dHpp = Hpp + u * eye3 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]
     # guard singular landmark blocks
     dHpp = dHpp + 1e-12 * eye3

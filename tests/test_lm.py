@@ -103,3 +103,33 @@ class TestCorridor:
         ate_lu = ate_rmse(np.asarray(r_lu.p), scene.p_true)
         assert ate_lu < 0.6 * ate0, (ate0, ate_lu)
         assert float(jnp.abs(r_lu.p - r_mf.p).max()) < 1e-10
+
+    def test_unconstrained_frame_stays_fixed(self):
+        """A frame with NO factor observations (all its points in
+        non-planar voxels) must not NaN-poison the damped solve: it has
+        exactly-zero Hessian/gradient rows and must simply stay put."""
+        scene = make_plane_scene(num_frames=10, points_per_frame=1500, seed=2)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        # append an extra frame that observes nothing
+        W = 11
+        R0 = np.concatenate([scene.R_true, np.eye(3)[None]])
+        p0 = np.concatenate([scene.p_true, np.array([[50.0, 50.0, 50.0]])])
+        Rp, pp = perturb_poses(R0, p0, 0.01, 0.03, seed=3)
+        buckets = [bucket_to_device(b, dtype=jnp.float64) for b in vm.buckets]
+        for solver in ("lu", "cg", "cg_mf"):
+            res = lm_damping_iter(
+                buckets, jnp.asarray(Rp), jnp.asarray(pp), max_iters=8,
+                reduced_solver=solver,
+            )
+            assert np.isfinite(np.asarray(res.p)).all(), solver
+            ate0 = ate_rmse(pp[:10], scene.p_true)
+            ate1 = ate_rmse(np.asarray(res.p)[:10], scene.p_true)
+            assert ate1 < 0.5 * ate0, (solver, ate0, ate1)
+            # the unconstrained frame must not move
+            np.testing.assert_allclose(
+                np.asarray(res.p)[10], pp[10], rtol=0, atol=1e-9,
+                err_msg=solver,
+            )
