@@ -61,11 +61,12 @@ def _build_vm(pts_body, fids, R, p, voxel_size, eigen_ratios, cfg: LvbaConfig):
     )
 
 
-def _solve_from_vm(vm, R, p, cfg: LvbaConfig, min_voxels: int = 0):
+def _solve_from_vm(vm, R, p, cfg: LvbaConfig, min_voxels: int = 0,
+                   merge: str = "auto"):
     if vm.num_planes < min_voxels or vm.num_planes == 0:
         return None, None, vm.num_planes
     dtype = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
-    buckets = buckets_to_device(vm, dtype=dtype)
+    buckets = buckets_to_device(vm, dtype=dtype, merge=merge)
     res = lm_damping_iter(
         buckets,
         jnp.asarray(R, dtype),
@@ -156,9 +157,15 @@ def run_window_ba(
         p_win = p_full[start:end].copy()
         R_odom, p_odom = R_win.copy(), p_win.copy()
         vm = futures.pop(start).result()
+        # merge='always': ONE (V_pow2, K_max) bucket per window collapses
+        # the jit-signature count — each distinct per-window tier layout
+        # otherwise costs ~3 s of per-process tracing, which dominated the
+        # 20-window stage at 200 frames (52.6 s -> the solves themselves
+        # are ~2 s warm in-process)
         R_sol, p_sol, n_planes = _solve_from_vm(
             vm, R_win, p_win, cfg,
             min_voxels=cfg.solver.min_window_factor_ratio * win,
+            merge="always",
         )
         if R_sol is None:
             stats["skipped"] += 1
