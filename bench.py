@@ -135,8 +135,13 @@ def bench_lidar_w50():
             def body(_i, carry):
                 R_, p_, acc = carry
                 r, g, H = _total_cgh(buckets, R_, p_, W)
-                eps = r * jnp.asarray(1e-30, R_.dtype)  # chain, defeat CSE
-                return (R_ + eps, p_ + eps, acc + r)
+                # keep g AND H live (abs blocks linear rewrites): without
+                # this, XLA DCEs the gradient/Hessian assembly and the
+                # probe times a residual-only graph while cost_analysis
+                # counts the full FLOPs — inflating the MFU ~3x
+                s = r + 1e-30 * (jnp.sum(jnp.abs(g)) + jnp.sum(jnp.abs(H)))
+                eps = s * jnp.asarray(1e-30, R_.dtype)  # chain, defeat CSE
+                return (R_ + eps, p_ + eps, acc + s)
 
             _, _, acc = jax.lax.fori_loop(
                 0, REPS, body, (R, p, jnp.zeros((), R.dtype))
@@ -270,8 +275,12 @@ def bench_w512():
             def body(_i, carry):
                 Rc, pc, acc = carry
                 r, g, H = _total_cgh(buckets, Rc, pc, W)
-                eps = r * jnp.asarray(1e-30, Rc.dtype)
-                return (Rc + eps, pc + eps, acc + r)
+                # g and H must stay LIVE or XLA DCEs the Gram assembly
+                # and the probe times a residual-only graph (abs blocks
+                # linear sum-rewrites)
+                s = r + 1e-30 * (jnp.sum(jnp.abs(g)) + jnp.sum(jnp.abs(H)))
+                eps = s * jnp.asarray(1e-30, Rc.dtype)
+                return (Rc + eps, pc + eps, acc + s)
 
             _, _, acc = jax.lax.fori_loop(
                 0, REPS, body, (R_, p_, jnp.zeros((), R_.dtype))

@@ -8,8 +8,10 @@ acceptance (distmax 0.7, ratio 0.8, mutual best)."""
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..config import LvbaConfig
@@ -19,22 +21,13 @@ from ..utils.progress import progress_bar
 
 log = logging.getLogger("global_lvba_tpu.frontend")
 
-_batched_extract_jit = None
 
-
+@partial(jax.jit, static_argnums=(1,))
 def _batched_extract(stack, params: SiftParams):
     """Batched SIFT extraction through ONE module-level jit: repeat calls
     with equal (batch shape, params) reuse the compiled executable — a
     per-call jit closure retraces the full SIFT graph every invocation."""
-    import jax
-
-    global _batched_extract_jit
-    if _batched_extract_jit is None:
-        _batched_extract_jit = jax.jit(
-            lambda s, p: jax.vmap(lambda im: extract_sift(im, p))(s),
-            static_argnums=(1,),
-        )
-    return _batched_extract_jit(stack, params)
+    return jax.vmap(lambda im: extract_sift(im, params))(stack)
 
 
 def load_gray_image(path, width: int, height: int) -> np.ndarray:

@@ -39,6 +39,44 @@ def _block_jacobi_inv(A: jnp.ndarray, bsize: int) -> jnp.ndarray:
     return jnp.linalg.inv(diag + 1e-30 * eye)
 
 
+def _pcg(matvec, precond, b, max_iters: int, tol: float):
+    """Shared preconditioned-CG iteration: fixed-trip fori_loop with
+    done-masking (see module docstring), convergence on ||r||/||b|| < tol.
+    Vectors may be any pytree-shaped array; dots use vdot on the raveled
+    values.  All three solver entry points (dense damped, matrix-free
+    rows, matrix-free Schur) share this loop so guard/freeze semantics
+    cannot silently diverge."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    b2 = jnp.maximum(jnp.vdot(b, b), 1e-300)
+
+    def body(_i, s):
+        x, r, p, rz, done = s
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x_n = x + alpha * p
+        r_n = r - alpha * Ap
+        z_n = precond(r_n)
+        rz_n = jnp.vdot(r_n, z_n)
+        beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+        p_n = z_n + beta * p
+        conv = jnp.vdot(r_n, r_n) / b2 < tol * tol
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (
+            frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
+            done | conv,
+        )
+
+    x, r, p, rz, done = jax.lax.fori_loop(
+        0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
+    )
+    return x
+
+
 def solve_damped_cg_rows(
     rows_list,
     frame_list,
@@ -88,35 +126,7 @@ def solve_damped_cg_rows(
         def precond(r):
             return jnp.einsum("wab,wb->wa", Minv, r)
 
-        b = -g
-        x = jnp.zeros_like(g)
-        r = b
-        z = precond(r)
-        p = z
-        rz = jnp.vdot(r, z)
-        b2 = jnp.maximum(jnp.vdot(b, b), 1e-300)
-
-        def body(_i, s):
-            x, r, p, rz, done = s
-            Ap = matvec(p)
-            denom = jnp.vdot(p, Ap)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
-            x_n = x + alpha * p
-            r_n = r - alpha * Ap
-            z_n = precond(r_n)
-            rz_n = jnp.vdot(r_n, z_n)
-            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
-            p_n = z_n + beta * p
-            conv = jnp.vdot(r_n, r_n) / b2 < tol * tol
-            frz = lambda new, old: jnp.where(done, old, new)
-            return (
-                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
-                done | conv,
-            )
-
-        x, r, p, rz, done = jax.lax.fori_loop(
-            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
-        )
+        x = _pcg(matvec, precond, -g, max_iters, tol)
         return x.reshape(-1), d.reshape(-1)
 
 
@@ -172,35 +182,7 @@ def solve_schur_cg_mf(
         def precond(r):
             return jnp.einsum("wab,wb->wa", Minv, r)
 
-        x = jnp.zeros_like(b)
-        r = b
-        z = precond(r)
-        p = z
-        rz = jnp.vdot(r, z)
-        b2 = jnp.maximum(jnp.vdot(b, b), 1e-300)
-
-        def body(_i, s):
-            x, r, p, rz, done = s
-            Ap = matvec(p)
-            denom = jnp.vdot(p, Ap)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
-            x_n = x + alpha * p
-            r_n = r - alpha * Ap
-            z_n = precond(r_n)
-            rz_n = jnp.vdot(r_n, z_n)
-            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
-            p_n = z_n + beta * p
-            conv = jnp.vdot(r_n, r_n) / b2 < tol * tol
-            frz = lambda new, old: jnp.where(done, old, new)
-            return (
-                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
-                done | conv,
-            )
-
-        x, r, p, rz, done = jax.lax.fori_loop(
-            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
-        )
-        return x
+        return _pcg(matvec, precond, b, max_iters, tol)
 
 
 def solve_damped_cg(
@@ -238,33 +220,4 @@ def solve_damped_cg(
                 "wab,wb->wa", Minv, r.reshape(W, bsize)
             ).reshape(-1)
 
-        b = -g
-        x = jnp.zeros_like(g)
-        r = b
-        z = precond(r)
-        p = z
-        rz = jnp.dot(r, z)
-        b2 = jnp.maximum(jnp.dot(b, b), 1e-300)
-
-        def body(_i, s):
-            x, r, p, rz, done = s
-            Ap = matvec(p)
-            denom = jnp.dot(p, Ap)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
-            x_n = x + alpha * p
-            r_n = r - alpha * Ap
-            z_n = precond(r_n)
-            rz_n = jnp.dot(r_n, z_n)
-            beta = rz_n / jnp.where(rz == 0, 1.0, rz)
-            p_n = z_n + beta * p
-            conv = jnp.dot(r_n, r_n) / b2 < tol * tol
-            frz = lambda new, old: jnp.where(done, old, new)
-            return (
-                frz(x_n, x), frz(r_n, r), frz(p_n, p), frz(rz_n, rz),
-                done | conv,
-            )
-
-        x, r, p, rz, done = jax.lax.fori_loop(
-            0, max_iters, body, (x, r, p, rz, jnp.zeros((), jnp.bool_))
-        )
-        return x
+        return _pcg(matvec, precond, -g, max_iters, tol)

@@ -132,6 +132,13 @@ def lm_damping_iter(
         # window→anchor hierarchy + Morton sharding scale out
         solver = "cg" if 6 * W >= 1536 else "lu"
     if solver == "cg_mf":
+        if h_sharding is not None:
+            import logging
+
+            logging.getLogger("global_lvba_tpu.solver").warning(
+                "reduced_solver='cg_mf' ignores h_sharding (the matrix-free"
+                " solve has no assembled H to row-shard); running replicated"
+            )
         # frame-major gather tables, host-built once per solve (small
         # fetch of the frame/occupancy arrays)
         tables = tuple(frame_gather_table(fa, W) for fa in buckets)
