@@ -67,6 +67,22 @@ def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None):
     return resid, g.reshape(W * 6), H
 
 
+def _nielsen_update(res1, res2, q1, u, v, rel_tol):
+    """Shared Nielsen trust-region bookkeeping (bavoxel.hpp:744-761):
+    acceptance, damping update, convergence — used by BOTH LM loops
+    (dense-H and matrix-free rows) so the schedule cannot diverge."""
+    q = res1 - res2
+    accept = q > 0
+    qr = q / jnp.where(q1 == 0, 1.0, q1)
+    u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+    u_new = jnp.where(accept, u_acc, u * v)
+    v_new = jnp.where(accept, jnp.asarray(2.0, u.dtype), 2.0 * v)
+    converged = jnp.abs(res1 - res2) / jnp.where(
+        res1 == 0, 1.0, jnp.abs(res1)
+    ) < rel_tol
+    return accept, u_new, v_new, converged
+
+
 def _solve_damped(H, g, u, refine: bool = True):
     """Solve (H + u * diag(H)) dx = -g with optional iterative refinement.
 
@@ -214,21 +230,15 @@ def _lm_jitted(
         # (which costs ~100x the evaluation inside a TPU loop): every
         # iteration does exactly one fused pass, never two.
         res2, g_t, H_t = cgh(R_t, p_t)
-        q = res1 - res2
-        accept = q > 0
-
-        qr = q / jnp.where(q1 == 0, 1.0, q1)
-        u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
-        u_new = jnp.where(accept, u_acc, u * v)
-        v_new = jnp.where(accept, jnp.asarray(2.0, R.dtype), 2.0 * v)
+        accept, u_new, v_new, converged = _nielsen_update(
+            res1, res2, q1, u, v, rel_tol
+        )
 
         R_new = jnp.where(accept, R_t, R)
         p_new = jnp.where(accept, p_t, p)
         g_new = jnp.where(accept, g_t, g)
         H_new = jnp.where(accept, H_t, H)
         res1_new = jnp.where(accept, res2, res1)
-
-        converged = jnp.abs(res1 - res2) / jnp.where(res1 == 0, 1.0, jnp.abs(res1)) < rel_tol
 
         # The loop is a FIXED-trip fori_loop with done-masking, not a
         # while_loop: a dynamic trip count de-optimizes the whole body on
@@ -306,13 +316,9 @@ def _lm_rows_jitted(buckets, tables, R0, p0, max_iters, u_init, v_init,
         # ONE factor evaluation per iteration, at the TRIAL point (see the
         # dense body above for why this beats is_calc_hess and lax.cond)
         res2, g_t, Hd_t, rows_t = eval_rows(R_t, p_t)
-        q = res1 - res2
-        accept = q > 0
-
-        qr = q / jnp.where(q1 == 0, 1.0, q1)
-        u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
-        u_new = jnp.where(accept, u_acc, u * v)
-        v_new = jnp.where(accept, jnp.asarray(2.0, R.dtype), 2.0 * v)
+        accept, u_new, v_new, converged = _nielsen_update(
+            res1, res2, q1, u, v, rel_tol
+        )
 
         sel = lambda new, old: jnp.where(accept & ~done, new, old)
         rows_new = jax.tree_util.tree_map(sel, rows_t, rows)
@@ -321,10 +327,6 @@ def _lm_rows_jitted(buckets, tables, R0, p0, max_iters, u_init, v_init,
         g_new = sel(g_t, g)
         Hd_new = sel(Hd_t, Hd)
         res1_new = sel(res2, res1)
-
-        converged = jnp.abs(res1 - res2) / jnp.where(
-            res1 == 0, 1.0, jnp.abs(res1)
-        ) < rel_tol
 
         frz = lambda new, old: jnp.where(done, old, new)
         return (
