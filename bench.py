@@ -40,6 +40,50 @@ import time
 import numpy as np
 
 
+def _probe_backend_once(timeout_s):
+    """Run a tiny jit in a SUBPROCESS: a failed/hung backend init must not
+    poison this process (jax caches the failure), and a tunnel stall must
+    not hang the bench forever."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "print(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0, (r.stderr or "")[-300:]
+    except Exception as e:  # TimeoutExpired and anything else
+        return False, f"{type(e).__name__}: {e}"[:300]
+
+
+def _ensure_backend():
+    """Bounded retry/backoff against axon-tunnel outages (observed 30+ min:
+    round-2 BENCH died rc=1 in backend init).  On persistent failure, fall
+    back to the CPU backend so the round artifact still exists — returns
+    the error string in that case, None when the device backend is live."""
+    attempts = int(os.environ.get("LVBA_BENCH_PROBE_ATTEMPTS", "3"))
+    probe_timeout = float(os.environ.get("LVBA_BENCH_PROBE_TIMEOUT_S", "300"))
+    wait = float(os.environ.get("LVBA_BENCH_PROBE_WAIT_S", "300"))
+    last = ""
+    for i in range(attempts):
+        ok, last = _probe_backend_once(probe_timeout)
+        if ok:
+            return None
+        print(
+            f"bench: backend probe {i + 1}/{attempts} failed: {last}",
+            file=sys.stderr, flush=True,
+        )
+        if i < attempts - 1:
+            time.sleep(wait)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return last
+
+
 def _sync(x):
     import jax
 
@@ -256,6 +300,21 @@ def bench_w512():
     dt = min(ts)
     from global_lvba_tpu.models.synthetic import ate_rmse
 
+    # honest CPU baseline AT SCALE: the same damped-LM loop in optimized
+    # multithreaded C++ (full cgh + LAPACK solve per iteration,
+    # native/lvba_native.cpp::lvba_lm_solve) — the W=50 ratio alone
+    # understates the chip advantage at representative workloads
+    native_ms_per_iter = None
+    try:
+        from global_lvba_tpu.native import runtime as nat
+
+        t0 = time.perf_counter()
+        out = nat.lm_solve(vm.buckets, Rp, pp, W, max_iters=2)
+        if out is not None and out[3] > 0:
+            native_ms_per_iter = (time.perf_counter() - t0) / out[3] * 1e3
+    except Exception:
+        pass
+
     # FLOP accounting at the REPRESENTATIVE scale: the W=512 evaluation is
     # Gram-matmul-dominated (the W=50 one is elementwise-dominated and
     # underrepresents MXU utilization)
@@ -305,6 +364,11 @@ def bench_w512():
     except Exception as e:
         mfu = {"w512_mfu_error": str(e)[:120]}
 
+    if native_ms_per_iter is not None:
+        mfu["w512_native_cpu_ms_per_iter"] = round(native_ms_per_iter, 1)
+        mfu["w512_vs_native_cpu"] = round(
+            native_ms_per_iter / (dt / ITERS * 1e3), 1
+        )
     return dt / ITERS * 1e3, ate_rmse(pp, scene.p_true), ate_rmse(
         np.asarray(res.p, np.float64), scene.p_true
     ), mfu
@@ -369,6 +433,13 @@ def bench_visual_m200():
 
 def main():
     extras = {}
+    backend_error = _ensure_backend()
+    if backend_error is not None:
+        # persistent tunnel outage: record it, run on the CPU backend so
+        # the round still gets a real (if slower) artifact, and skip the
+        # device-scale extras that would take tens of minutes on CPU
+        extras["backend_error"] = backend_error
+        extras["backend"] = "cpu_fallback"
 
     tpu_ips, cpu_native_ips, numpy_ips, mfu = bench_lidar_w50()
     extras.update(mfu)
@@ -380,28 +451,29 @@ def main():
     )
     extras["cpu_native_threads"] = os.cpu_count()
 
-    try:
-        dev_ms, fetch_ms = bench_sift()
-        extras["sift_ms_per_image"] = round(dev_ms, 2)
-        extras["sift_ms_per_image_with_fetch"] = round(fetch_ms, 2)
-    except Exception as e:
-        extras["sift_error"] = str(e)[:120]
+    if backend_error is None:
+        try:
+            dev_ms, fetch_ms = bench_sift()
+            extras["sift_ms_per_image"] = round(dev_ms, 2)
+            extras["sift_ms_per_image_with_fetch"] = round(fetch_ms, 2)
+        except Exception as e:
+            extras["sift_error"] = str(e)[:120]
 
-    try:
-        ms, ate0, ate1, w512_mfu = bench_w512()
-        extras["w512_ms_per_iter"] = round(ms, 2)
-        extras["w512_ate_m"] = [round(ate0, 5), round(ate1, 5)]
-        extras.update(w512_mfu)
-    except Exception as e:
-        extras["w512_error"] = str(e)[:120]
+        try:
+            ms, ate0, ate1, w512_mfu = bench_w512()
+            extras["w512_ms_per_iter"] = round(ms, 2)
+            extras["w512_ate_m"] = [round(ate0, 5), round(ate1, 5)]
+            extras.update(w512_mfu)
+        except Exception as e:
+            extras["w512_error"] = str(e)[:120]
 
-    try:
-        ms, n_obs, c0, c1 = bench_visual_m200()
-        extras["visual_m200_ms_per_iter"] = round(ms, 2)
-        extras["visual_m200_obs"] = n_obs
-        extras["visual_m200_cost"] = [round(c0, 1), round(c1, 1)]
-    except Exception as e:
-        extras["visual_error"] = str(e)[:120]
+        try:
+            ms, n_obs, c0, c1 = bench_visual_m200()
+            extras["visual_m200_ms_per_iter"] = round(ms, 2)
+            extras["visual_m200_obs"] = n_obs
+            extras["visual_m200_cost"] = [round(c0, 1), round(c1, 1)]
+        except Exception as e:
+            extras["visual_error"] = str(e)[:120]
 
     result = {
         "metric": "lidar_ba_lm_iters_per_sec_W50",
@@ -414,4 +486,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # never hand the driver rc=1: a bench artifact with an error field
+        # beats a missing round record (round 2 lost its perf record this way)
+        print(json.dumps({
+            "metric": "lidar_ba_lm_iters_per_sec_W50",
+            "value": 0.0,
+            "unit": "iters/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))

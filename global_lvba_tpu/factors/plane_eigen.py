@@ -219,12 +219,14 @@ def plane_cost_grad_hess(
     p: jnp.ndarray,
     num_frames: int,
     chunk_bytes: int = 256 * 1024 * 1024,
+    inv: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Total (residual, gradient (W,6), Hessian (W,6,W,6)) over a bucket.
 
     Gram-matrix assembly: H = scatter(diag extras) - Σ_chunks M_cᵀ M_c,
     chunked over voxels so the (V, W, 3, 6) factor matrix stays within
-    `chunk_bytes`."""
+    `chunk_bytes`.  inv: optional frame_slot_table(fa, W) — switches the
+    frame expansion from one-hot matmuls to the gather path."""
     V, K = fa.n.shape
     W = num_frames
     # per-voxel live bytes: the (W, 18) factor-row block, its transpose
@@ -239,10 +241,13 @@ def plane_cost_grad_hess(
         return jnp.pad(x, cfg).reshape((n_chunks, chunk) + x.shape[1:])
 
     fa_p = PlaneFactorArrays(pad(fa.n), pad(fa.mu), pad(fa.Pc), pad(fa.frame))
+    # padded voxels have all-zero factor data, so any slot their inv rows
+    # point at gathers zeros — the pad fill value is irrelevant
+    inv_p = pad(inv) if inv is not None else None
 
-    def body(carry, fa_c):
+    def body(carry, fa_c, inv_c=None):
         resid_a, g_a, Hd_a, H_a = carry
-        resid, g, Hd, M = _chunk_eval_soa(fa_c, R, p, W)
+        resid, g, Hd, M = _chunk_eval_soa(fa_c, R, p, W, inv_c)
         # H[w1,c1,w2,c2] -= sum_{v,r} M[v,w1,r,c1] M[v,w2,r,c2]: a multi-dim
         # dot_general straight off the one-hot dot's native (V, W, 3, 6)
         # layout — relayouting M to (3V, 6W) for a 2-D jnp.dot measured 32%
@@ -264,7 +269,7 @@ def plane_cost_grad_hess(
         jnp.zeros((W, 6, 6), R.dtype) + zvar,
         jnp.zeros((W, 6, W, 6), R.dtype) + zvar,
     )
-    if n_chunks <= 16:
+    if n_chunks <= 16 or inv_p is not None:
         # unroll at trace time: a lax.scan lowers to a while loop whose
         # body XLA schedules in isolation — measured 25% slower than the
         # same chunks unrolled (W=512, TPU v5e); memory stays bounded by
@@ -274,13 +279,32 @@ def plane_cost_grad_hess(
             fa_c = PlaneFactorArrays(
                 fa_p.n[c], fa_p.mu[c], fa_p.Pc[c], fa_p.frame[c]
             )
-            carry, _ = body(carry, fa_c)
+            carry, _ = body(
+                carry, fa_c, inv_p[c] if inv_p is not None else None
+            )
         resid, g, Hd, Hq = carry
     else:
         (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
     H = Hq
     H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
     return resid, g, H
+
+
+def frame_slot_table(fa: PlaneFactorArrays, W: int) -> jnp.ndarray:
+    """Host-built (V, W) int32 inverse table: entry (v, w) is the k-slot of
+    the observation of frame w in voxel v, or K (the zero pad row) when v
+    is not observed by w.  Each voxel observes a frame at most once, so
+    the table is exact — it lets the frame expansion of per-entry values
+    be a contiguous-row GATHER instead of a (V·K, W) one-hot matmul whose
+    one-hot operand alone is O(V·K·W) HBM traffic per evaluation (~1 GB
+    per eval at W = 512 on the representative scene)."""
+    frame = np.asarray(fa.frame)
+    nn = np.asarray(fa.n)
+    V, K = frame.shape
+    inv = np.full((V, W), K, np.int32)
+    v_idx, k_idx = np.nonzero(nn > 0)
+    inv[v_idx, frame[v_idx, k_idx]] = k_idx.astype(np.int32)
+    return jnp.asarray(inv)
 
 
 def _frame_table_np(frame: "np.ndarray", n: "np.ndarray", W: int) -> "np.ndarray":
@@ -631,14 +655,27 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     return resid, jjt6, D36, rows18
 
 
-def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int):
+def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
     """SoA chunk evaluation -> (resid, g (W,6), Hd (W,6,6), M (V, W, 3, 6)).
 
-    All frame-indexed reductions are explicit dot_generals so they lower to
-    the MXU (einsum's broadcast-reduce form lowered to the VPU and was
-    ~100x slower at W = 200)."""
+    With inv_c (a frame_slot_table chunk, (V, W) int32) the frame
+    expansion is ONE contiguous-row gather of the concatenated per-entry
+    outputs [rows18 | jjt6 | D36] — selection only, no summation (each
+    voxel observes a frame at most once), so it is exact and carries no
+    one-hot traffic.  Without it, frame-indexed reductions are explicit
+    one-hot dot_generals so they lower to the MXU (einsum's
+    broadcast-reduce form lowered to the VPU and was ~100x slower at
+    W = 200)."""
     V, K = fa_c.n.shape
     resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
+    if inv_c is not None:
+        dt = fa_c.n.dtype
+        cat = jnp.concatenate([rows18, jjt6, D36], axis=-1)      # (V, K, 60)
+        catp = jnp.concatenate([cat, jnp.zeros((V, 1, 60), dt)], axis=1)
+        G = jnp.take_along_axis(catp, inv_c[:, :, None], axis=1)  # (V, W, 60)
+        g = jnp.sum(G[..., 18:24], axis=0)                        # (W, 6)
+        Hd = jnp.sum(G[..., 24:60], axis=0).reshape(W, 6, 6)
+        return resid, g, Hd, G[..., :18].reshape(V, W, 3, 6)
     onehot = (fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)).astype(
         fa_c.n.dtype
     )

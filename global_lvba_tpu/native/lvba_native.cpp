@@ -13,6 +13,8 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -396,20 +398,16 @@ void plane_cgh_range(const PlaneCghArgs& a, long v0, long v1, double* resid,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Multithreaded plane-factor (residual, gradient, Hessian) evaluation.
-// n (V,K) f32; mu (V,K,3) f32; Pc (V,K,3,3) f32; frame (V,K) i32;
-// R (W,3,3) f64 row-major; p (W,3) f64; outputs resid (1), g (6W), H (6W,6W).
-void lvba_plane_cgh(const float* n, const float* mu, const float* Pc,
-                    const int* frame, long V, int K, const double* R,
-                    const double* p, int W, int n_threads, double* resid_out,
-                    double* g_out, double* H_out) {
-  PlaneCghArgs args{n, mu, Pc, frame, V, K, R, p, W};
+// Threaded fan-out over voxels; ACCUMULATES into g/H (callers zero them).
+double plane_cgh_threaded(const PlaneCghArgs& args, int n_threads,
+                          double* g_out, double* H_out) {
+  const long V = args.V;
   int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
   if (T < 1) T = 1;
   if ((long)T > V) T = (int)(V > 0 ? V : 1);
-  long n6 = 6L * W;
+  long n6 = 6L * args.W;
   std::vector<std::vector<double>> gs(T), Hs(T);
   std::vector<double> rs(T, 0.0);
   std::vector<std::thread> threads;
@@ -424,15 +422,189 @@ void lvba_plane_cgh(const float* n, const float* mu, const float* Pc,
     });
   }
   double resid = 0;
-  std::memset(g_out, 0, n6 * sizeof(double));
-  std::memset(H_out, 0, n6 * n6 * sizeof(double));
   for (int t = 0; t < T; ++t) {
     threads[t].join();
     resid += rs[t];
     for (long i = 0; i < n6; ++i) g_out[i] += gs[t][i];
     for (long i = 0; i < n6 * n6; ++i) H_out[i] += Hs[t][i];
   }
-  *resid_out = resid;
+  return resid;
+}
+
+// LAPACK dgesv resolved at runtime from an optimized BLAS (the image's
+// reference libblas runs at ~1 GFLOP/s — unusably slow for the (6W)² solve
+// — while scipy ships OpenBLAS; lvba_set_lapack points us at it).
+typedef void (*dgesv_t)(const int*, const int*, double*, const int*, int*,
+                        double*, const int*, int*);
+dgesv_t g_dgesv = nullptr;
+
+// Fallback: partial-pivot LU solve, in-place (used only without LAPACK).
+int lu_solve(double* A, double* b, long n) {
+  std::vector<long> piv(n);
+  for (long c = 0; c < n; ++c) {
+    long pr = c;
+    double best = std::fabs(A[c * n + c]);
+    for (long r = c + 1; r < n; ++r) {
+      double v = std::fabs(A[r * n + c]);
+      if (v > best) { best = v; pr = r; }
+    }
+    if (best == 0.0) return -1;
+    if (pr != c) {
+      for (long j = 0; j < n; ++j) std::swap(A[c * n + j], A[pr * n + j]);
+      std::swap(b[c], b[pr]);
+    }
+    double inv = 1.0 / A[c * n + c];
+    for (long r = c + 1; r < n; ++r) {
+      double f = A[r * n + c] * inv;
+      if (f == 0.0) continue;
+      A[r * n + c] = 0.0;
+      for (long j = c + 1; j < n; ++j) A[r * n + j] -= f * A[c * n + j];
+      b[r] -= f * b[c];
+    }
+  }
+  for (long r = n - 1; r >= 0; --r) {
+    double s = b[r];
+    for (long j = r + 1; j < n; ++j) s -= A[r * n + j] * b[j];
+    b[r] = s / A[r * n + r];
+  }
+  return 0;
+}
+
+inline void exp_so3_native(const double* w, double* Rm) {
+  double th2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2];
+  double th = std::sqrt(th2);
+  double A, B;
+  if (th < 1e-8) {
+    A = 1.0 - th2 / 6.0;
+    B = 0.5 - th2 / 24.0;
+  } else {
+    A = std::sin(th) / th;
+    B = (1.0 - std::cos(th)) / th2;
+  }
+  double hx[9];
+  hat3(w, hx);
+  double hx2[9];
+  mat3_mul(hx, hx, hx2);
+  for (int i = 0; i < 9; ++i) Rm[i] = A * hx[i] + B * hx2[i];
+  Rm[0] += 1.0;
+  Rm[4] += 1.0;
+  Rm[8] += 1.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Point dgesv at an optimized LAPACK (e.g. scipy's bundled OpenBLAS).
+// Tries the scipy_-prefixed symbol first, then the plain Fortran name.
+void lvba_set_lapack(const char* path) {
+  void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
+  if (!h) return;
+  void* s = dlsym(h, "scipy_dgesv_");
+  if (!s) s = dlsym(h, "dgesv_");
+  if (s) g_dgesv = (dgesv_t)s;
+}
+
+// Multithreaded plane-factor (residual, gradient, Hessian) evaluation.
+// n (V,K) f32; mu (V,K,3) f32; Pc (V,K,3,3) f32; frame (V,K) i32;
+// R (W,3,3) f64 row-major; p (W,3) f64; outputs resid (1), g (6W), H (6W,6W).
+void lvba_plane_cgh(const float* n, const float* mu, const float* Pc,
+                    const int* frame, long V, int K, const double* R,
+                    const double* p, int W, int n_threads, double* resid_out,
+                    double* g_out, double* H_out) {
+  PlaneCghArgs args{n, mu, Pc, frame, V, K, R, p, W};
+  long n6 = 6L * W;
+  std::memset(g_out, 0, n6 * sizeof(double));
+  std::memset(H_out, 0, n6 * n6 * sizeof(double));
+  *resid_out = plane_cgh_threaded(args, n_threads, g_out, H_out);
+}
+
+// Full damped-LM solve over multiple factor buckets — the honest
+// optimized-CPU baseline at representative scale (the reference's
+// damping_iter, bavoxel.hpp:662-767, with the same one-trial-evaluation-
+// per-iteration scheme as the TPU engine so the per-iteration work
+// matches).  R/p are updated IN PLACE; returns final averaged residual
+// and the iteration count.
+void lvba_lm_solve(int n_buckets, const float** n_l, const float** mu_l,
+                   const float** Pc_l, const int** f_l, const long* V_l,
+                   const int* K_l, double* R, double* p, int W, int max_iters,
+                   int n_threads, double* resid_out, int* iters_out) {
+  long n6 = 6L * W;
+  long g_size = 0;
+  for (int b = 0; b < n_buckets; ++b) g_size += V_l[b];
+  if (g_size < 1) g_size = 1;
+  std::vector<double> g(n6), H(n6 * n6), g_t(n6), H_t(n6 * n6);
+  std::vector<double> A(n6 * n6), dx(n6), d(n6);
+  std::vector<double> Rt(9L * W), pt(3L * W);
+  std::vector<int> ipiv(n6);
+
+  auto cgh = [&](const double* Rq, const double* pq, double* gg, double* HH) {
+    std::memset(gg, 0, n6 * sizeof(double));
+    std::memset(HH, 0, n6 * n6 * sizeof(double));
+    double r = 0;
+    for (int b = 0; b < n_buckets; ++b) {
+      PlaneCghArgs args{n_l[b], mu_l[b], Pc_l[b], f_l[b],
+                        V_l[b], K_l[b], Rq,      pq,     W};
+      r += plane_cgh_threaded(args, n_threads, gg, HH);
+    }
+    return r / (double)g_size;
+  };
+
+  double u = 0.01, v = 2.0;
+  double res1 = cgh(R, p, g.data(), H.data());
+  int it = 0;
+  for (int i = 0; i < max_iters; ++i) {
+    it = i + 1;
+    double dmax = 0;
+    for (long r = 0; r < n6; ++r) {
+      d[r] = H[r * n6 + r];
+      dmax = std::max(dmax, std::fabs(d[r]));
+    }
+    double eps = 1e-12 * (1.0 + dmax);  // pin unobserved frames (zero rows)
+    std::memcpy(A.data(), H.data(), n6 * n6 * sizeof(double));
+    for (long r = 0; r < n6; ++r) {
+      A[r * n6 + r] += u * d[r] + eps;
+      dx[r] = -g[r];
+    }
+    if (g_dgesv) {
+      // A is symmetric, so the row-major buffer IS its column-major self
+      int n = (int)n6, nrhs = 1, info = 0;
+      g_dgesv(&n, &nrhs, A.data(), &n, ipiv.data(), dx.data(), &n, &info);
+      if (info != 0) break;
+    } else {
+      if (lu_solve(A.data(), dx.data(), n6) != 0) break;
+    }
+    for (int j = 0; j < W; ++j) {
+      double dR[9];
+      exp_so3_native(&dx[6 * j], dR);
+      mat3_mul(R + 9 * j, dR, &Rt[9 * j]);
+      for (int c = 0; c < 3; ++c) pt[3 * j + c] = p[3 * j + c] + dx[6 * j + 3 + c];
+    }
+    double q1 = 0;
+    for (long r = 0; r < n6; ++r) q1 += dx[r] * (u * d[r] * dx[r] - g[r]);
+    q1 *= 0.5 / (double)g_size;
+    double res2 = cgh(Rt.data(), pt.data(), g_t.data(), H_t.data());
+    double q = res1 - res2;
+    bool converged =
+        std::fabs(res1 - res2) / std::max(std::fabs(res1), 1e-300) < 1e-6;
+    if (q > 0) {
+      std::memcpy(R, Rt.data(), 9L * W * sizeof(double));
+      std::memcpy(p, pt.data(), 3L * W * sizeof(double));
+      g.swap(g_t);
+      H.swap(H_t);
+      res1 = res2;
+      double qr = q1 != 0 ? q / q1 : 1.0;
+      double qq = 1.0 - std::pow(2.0 * qr - 1.0, 3.0);
+      u *= std::max(1.0 / 3.0, qq);
+      v = 2.0;
+    } else {
+      u *= v;
+      v *= 2.0;
+    }
+    if (converged) break;
+  }
+  *resid_out = res1;
+  *iters_out = it;
 }
 
 }  // extern "C"

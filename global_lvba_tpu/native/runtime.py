@@ -42,7 +42,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not _SO.exists():
+    # (re)build when missing or stale: the .so is NOT shipped (it is built
+    # with -march=native and would SIGILL on a different host), and a
+    # stale binary would silently diverge from lvba_native.cpp
+    src = _DIR / "lvba_native.cpp"
+    if not _SO.exists() or (
+        src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+    ):
         if not _build():
             return None
     try:
@@ -75,8 +81,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+    if hasattr(lib, "lvba_lm_solve"):
+        lib.lvba_lm_solve.restype = None
+        lib.lvba_lm_solve.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.lvba_set_lapack.restype = None
+        lib.lvba_set_lapack.argtypes = [ctypes.c_char_p]
+        _point_at_scipy_lapack(lib)
     _lib = lib
     return lib
+
+
+def _point_at_scipy_lapack(lib) -> None:
+    """Hand the native LM solver scipy's bundled OpenBLAS: the image's
+    reference libblas runs ~1 GFLOP/s, which would make the honest CPU
+    baseline unfairly slow at the (6W)² solve."""
+    try:
+        import glob
+        import scipy
+
+        base = Path(scipy.__file__).parent.parent / "scipy.libs"
+        for cand in sorted(glob.glob(str(base / "libscipy_openblas*.so"))):
+            lib.lvba_set_lapack(cand.encode())
+            return
+    except Exception as e:  # solver falls back to its own LU
+        log.info("optimized LAPACK unavailable for native LM: %s", e)
 
 
 def lzf_decompress(data: bytes, expected: int) -> Optional[bytes]:
@@ -154,6 +190,42 @@ def plane_cgh(bucket, R: np.ndarray, p: np.ndarray, W: int,
         H.ctypes.data_as(ctypes.c_void_p),
     )
     return float(resid[0]), g, H
+
+
+def lm_solve(buckets, R: np.ndarray, p: np.ndarray, W: int,
+             max_iters: int = 10, n_threads: int = 0):
+    """Full damped-LM solve in optimized C++ over PlaneFactorBucket-likes —
+    the honest CPU baseline of the reference's damping_iter
+    (/root/reference/include/BALM/bavoxel.hpp:662-767) at any scale.
+
+    Returns (R_opt, p_opt, resid, iters) in f64, or None without the lib.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_lm_solve"):
+        return None
+    nb = len(buckets)
+    ns = [np.ascontiguousarray(b.n, np.float32) for b in buckets]
+    mus = [np.ascontiguousarray(b.mu, np.float32) for b in buckets]
+    Pcs = [np.ascontiguousarray(b.Pc, np.float32) for b in buckets]
+    frs = [np.ascontiguousarray(b.frame, np.int32) for b in buckets]
+    ptr = lambda arrs: (ctypes.c_void_p * nb)(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]
+    )
+    Vs = np.asarray([b.n.shape[0] for b in buckets], np.int64)
+    Ks = np.asarray([b.n.shape[1] for b in buckets], np.int32)
+    R64 = np.ascontiguousarray(R, np.float64).copy()
+    p64 = np.ascontiguousarray(p, np.float64).copy()
+    resid = np.zeros(1, np.float64)
+    iters = np.zeros(1, np.int32)
+    lib.lvba_lm_solve(
+        nb, ptr(ns), ptr(mus), ptr(Pcs), ptr(frs),
+        Vs.ctypes.data_as(ctypes.c_void_p), Ks.ctypes.data_as(ctypes.c_void_p),
+        R64.ctypes.data_as(ctypes.c_void_p), p64.ctypes.data_as(ctypes.c_void_p),
+        W, max_iters, n_threads,
+        resid.ctypes.data_as(ctypes.c_void_p),
+        iters.ctypes.data_as(ctypes.c_void_p),
+    )
+    return R64, p64, float(resid[0]), int(iters[0])
 
 
 def union_find(n: int, edges: np.ndarray) -> Optional[np.ndarray]:

@@ -212,9 +212,16 @@ def distributed_voxel_moments(
         slot_key, cnt, s, m = _local_bin(pts_l, k_l, capacity)
         me = jax.lax.axis_index(axis)
 
+        # owner(key) = min(key // ceil(key_space/n), n-1): the divisor is a
+        # static Python int, so the arithmetic stays inside uint32 — with
+        # jax_enable_x64 off (the f32/int32 production config) a k*n
+        # formulation would silently wrap for n >= 8 and scramble the
+        # Morton-range ownership (ADVICE r2)
+        keys_per_owner = (key_space + n - 1) // n
+
         def owner(k):
             return jnp.minimum(
-                (k.astype(jnp.uint64) * n // key_space).astype(jnp.int32), n - 1
+                (k // jnp.uint32(keys_per_owner)).astype(jnp.int32), n - 1
             )
 
         def accumulate(acc, table):
@@ -267,6 +274,17 @@ def distributed_voxel_moments(
     cc = np.asarray(cc).reshape(-1)
     ss = np.asarray(ss).reshape(-1, 3)
     mm = np.asarray(mm).reshape(-1, 6)
+    # overflow guard: segment_sum silently drops ids >= capacity, so a
+    # shard (or an owner's merged table) with more than `capacity` unique
+    # voxels would lose moments with no signal.  Every valid point lands in
+    # exactly one owned slot, so the accumulated count must equal N.
+    total = float(cc.sum(dtype=np.float64))
+    if not np.isclose(total, float(N), rtol=0.0, atol=0.5):
+        raise ValueError(
+            f"distributed_voxel_moments capacity overflow: accumulated "
+            f"{total:.0f} of {N} points — a shard exceeded capacity="
+            f"{capacity} unique voxels; raise `capacity`"
+        )
     live = kk != 0xFFFFFFFF
     order = np.argsort(kk[live], kind="stable")
     return kk[live][order], cc[live][order], ss[live][order], mm[live][order]

@@ -78,12 +78,17 @@ def extract_images(
             f = extract_sift(stack[0], params)
             feats = jax.tree_util.tree_map(lambda x: x[None], f)
         xy = np.asarray(feats.xy, np.float32)
-        vv = np.asarray(feats.valid)
-        dd = feats.desc if device_descs else np.asarray(feats.desc, np.float32)
+        if device_descs:
+            # no host fetch of desc/valid at all — each fetched leaf costs
+            # a full tunnel round trip per batch
+            dd, vv = feats.desc, feats.valid
+        else:
+            dd = np.asarray(feats.desc, np.float32)
+            vv = np.asarray(feats.valid)
         for k in range(i, j):
             kps[k] = xy[k - i]
             descs[k] = dd[k - i]
-            valids[k] = vv[k - i] if not device_descs else feats.valid[k - i]
+            valids[k] = vv[k - i]
         done = j
         progress_bar(done, n)
         i = j

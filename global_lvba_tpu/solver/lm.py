@@ -22,6 +22,7 @@ factors/plane_eigen.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Sequence, Tuple
 
@@ -31,6 +32,7 @@ import jax.numpy as jnp
 from ..factors.plane_eigen import (
     PlaneFactorArrays,
     frame_gather_table,
+    frame_slot_table,
     plane_cost,
     plane_cost_grad_hess,
     plane_cost_grad_rows,
@@ -52,12 +54,15 @@ def _total_cost(buckets: Sequence[PlaneFactorArrays], R, p):
     return c
 
 
-def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None):
+def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None,
+               invs=None):
     resid = jnp.zeros((), dtype=R.dtype)
     g = jnp.zeros((W, 6), dtype=R.dtype)
     H = jnp.zeros((W, 6, W, 6), dtype=R.dtype)
-    for fa in buckets:
-        r_, g_, H_ = plane_cost_grad_hess(fa, R, p, W)
+    if invs is None:
+        invs = (None,) * len(buckets)
+    for fa, inv in zip(buckets, invs):
+        r_, g_, H_ = plane_cost_grad_hess(fa, R, p, W, inv=inv)
         resid, g, H = resid + r_, g + g_, H + H_
     H = H.reshape(W * 6, W * 6)
     if h_sharding is not None:
@@ -119,6 +124,7 @@ def lm_damping_iter(
     rel_tol: float = 1e-6,
     h_sharding=None,
     reduced_solver: str = "auto",
+    gather_tables: bool = None,
 ) -> LMResult:
     """Run damped LM over plane-eigen factor buckets.
 
@@ -162,15 +168,22 @@ def lm_damping_iter(
             tuple(buckets), tables, R0, p0, int(max_iters), float(u_init),
             float(v_init), float(rel_tol),
         )
+    if gather_tables is None:
+        gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
+    invs = (
+        tuple(frame_slot_table(fa, W) for fa in buckets)
+        if gather_tables else None
+    )
     return _lm_jitted(
-        tuple(buckets), R0, p0, int(max_iters), float(u_init), float(v_init),
-        float(rel_tol), h_sharding, solver,
+        tuple(buckets), invs, R0, p0, int(max_iters), float(u_init),
+        float(v_init), float(rel_tol), h_sharding, solver,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _lm_jitted(
     buckets,
+    invs,
     R0: jnp.ndarray,
     p0: jnp.ndarray,
     max_iters: int,
@@ -186,7 +199,7 @@ def _lm_jitted(
     solver = reduced_solver
 
     def cgh(R, p):
-        r, g, H = _total_cgh(buckets, R, p, W, h_sharding)
+        r, g, H = _total_cgh(buckets, R, p, W, h_sharding, invs)
         return r / g_size_f, g, H
 
     res1_0, g_0, H_0 = cgh(R0, p0)

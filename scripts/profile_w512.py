@@ -1,0 +1,100 @@
+"""Profile the W=512 factor evaluation variants on the real chip.
+
+Compares, per evaluation (chained on-device loop, min-of-N):
+  * one-hot frame expansion (current default) vs frame_slot_table gather
+  * full LM iteration time under both
+Prints one JSON line per variant.  Run ALONE (one TPU client at a time).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from global_lvba_tpu.map.voxelize import build_voxel_map
+from global_lvba_tpu.models.synthetic import make_plane_scene, perturb_poses
+from global_lvba_tpu.factors.padding import buckets_to_device
+from global_lvba_tpu.factors.plane_eigen import frame_slot_table
+from global_lvba_tpu.solver.lm import _total_cgh, lm_damping_iter
+
+
+def chained_eval_ms(buckets, invs, R, p, W, reps=6):
+    @jax.jit
+    def eval_loop(R_, p_):
+        def body(_i, carry):
+            Rc, pc, acc = carry
+            r, g, H = _total_cgh(buckets, Rc, pc, W, invs=invs)
+            s = r + 1e-30 * (jnp.sum(jnp.abs(g)) + jnp.sum(jnp.abs(H)))
+            eps = s * jnp.asarray(1e-30, Rc.dtype)
+            return (Rc + eps, pc + eps, acc + s)
+
+        _, _, acc = jax.lax.fori_loop(0, reps, body, (R_, p_, jnp.zeros((), R_.dtype)))
+        return acc
+
+    fn1 = jax.jit(lambda R_, p_: _total_cgh(buckets, R_, p_, W, invs=invs))
+    ca = fn1.lower(R, p).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    np.asarray(eval_loop(R, p))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(eval_loop(R, p))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / reps
+    return dt * 1e3, flops
+
+
+def lm_ms_per_iter(buckets, R, p, gather, iters=4):
+    res = lm_damping_iter(buckets, R, p, max_iters=iters, gather_tables=gather)
+    np.asarray(res.R)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = lm_damping_iter(buckets, R, p, max_iters=iters,
+                              gather_tables=gather)
+        np.asarray(res.R)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters * 1e3, float(res.residual)
+
+
+def main():
+    W = int(os.environ.get("PROF_W", "512"))
+    scene = make_plane_scene(num_frames=W, points_per_frame=2000, seed=0)
+    vm = build_voxel_map(
+        scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+        voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+    )
+    buckets = buckets_to_device(vm, dtype=jnp.float32)
+    Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
+    R = jax.device_put(jnp.asarray(Rp, jnp.float32))
+    p = jax.device_put(jnp.asarray(pp, jnp.float32))
+    invs = tuple(frame_slot_table(fa, W) for fa in buckets)
+
+    peak = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
+    out = {"W": W}
+    for name, iv in (("onehot", None), ("gather", invs)):
+        ms, flops = chained_eval_ms(buckets, iv, R, p, W)
+        out[f"eval_ms_{name}"] = round(ms, 2)
+        out[f"mfu_pct_{name}"] = round(100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
+        out[f"eval_gflop_{name}"] = round(flops / 1e9, 1)
+        print(json.dumps(out), flush=True)
+    for name, gather in (("onehot", False), ("gather", True)):
+        ms, resid = lm_ms_per_iter(buckets, R, p, gather)
+        out[f"lm_ms_per_iter_{name}"] = round(ms, 2)
+        out[f"lm_resid_{name}"] = resid
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,57 @@ class TestNative:
         assert labels[0] != labels[3]
         assert labels[5] not in (labels[0], labels[3])
 
+    def test_plane_cgh_matches_oracle(self):
+        # lvba_plane_cgh is the vs_baseline denominator in bench.py: a
+        # regression here would silently corrupt the published ratio
+        from global_lvba_tpu.eval.oracle import bucket_cost_grad_hess
+        from global_lvba_tpu.map.voxelize import build_voxel_map
+        from global_lvba_tpu.models.synthetic import (
+            make_plane_scene, perturb_poses,
+        )
+
+        W = 8
+        scene = make_plane_scene(num_frames=W, points_per_frame=800, seed=3)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.03, seed=4)
+        assert vm.buckets, "fixture produced no factor buckets"
+        for b in vm.buckets:
+            out = nat.plane_cgh(b, Rp, pp, W)
+            assert out is not None
+            c_nat, g_nat, H_nat = out
+            c_ref, g_ref, H_ref = bucket_cost_grad_hess(b, Rp, pp, W)
+            assert c_nat == pytest.approx(c_ref, rel=1e-10)
+            np.testing.assert_allclose(g_nat, g_ref, rtol=1e-8, atol=1e-12)
+            np.testing.assert_allclose(H_nat, H_ref, rtol=1e-8, atol=1e-12)
+
+    def test_lm_solve_matches_oracle(self):
+        # the full native damped-LM loop (bench's at-scale CPU baseline)
+        # must track the reference-faithful oracle exactly
+        from global_lvba_tpu.eval.oracle import oracle_damping_iter
+        from global_lvba_tpu.map.voxelize import build_voxel_map
+        from global_lvba_tpu.models.synthetic import (
+            ate_rmse, make_plane_scene, perturb_poses,
+        )
+
+        W = 12
+        scene = make_plane_scene(num_frames=W, points_per_frame=1000, seed=5)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.03, seed=6)
+        out = nat.lm_solve(vm.buckets, Rp, pp, W, max_iters=8)
+        assert out is not None
+        Rn, pn, resid, iters = out
+        o = oracle_damping_iter(vm.buckets, Rp, pp, max_iters=8)
+        # same trust-region trajectory -> near-identical poses
+        np.testing.assert_allclose(pn, o.p, atol=1e-8)
+        np.testing.assert_allclose(Rn, o.R, atol=1e-8)
+        assert ate_rmse(pn, scene.p_true) < 0.3 * ate_rmse(pp, scene.p_true)
+
     def test_union_find_matches_python_on_random_graph(self):
         rng = np.random.default_rng(2)
         n = 5000

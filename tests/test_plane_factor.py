@@ -80,6 +80,37 @@ class TestPlaneCost:
 
 
 class TestPlaneGradHess:
+    def test_gather_table_path_matches_onehot(self):
+        # frame_slot_table gather is pure selection: f64 agreement with the
+        # one-hot matmul expansion must be at rounding level
+        from global_lvba_tpu.factors.plane_eigen import frame_slot_table
+
+        scene, vm, buckets = setup_problem(num_frames=12, ppf=1500)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        W = R.shape[0]
+        for fa in buckets:
+            r0, g0, H0 = plane_cost_grad_hess(fa, R, p, W)
+            inv = frame_slot_table(fa, W)
+            r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W, inv=inv)
+            assert float(r0) == float(r1)
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       rtol=1e-12, atol=1e-14)
+            np.testing.assert_allclose(np.asarray(H0), np.asarray(H1),
+                                       rtol=1e-12, atol=1e-13)
+        # full LM solves agree
+        from global_lvba_tpu.solver.lm import lm_damping_iter
+
+        res0 = lm_damping_iter(buckets, R, p, max_iters=5,
+                               gather_tables=False)
+        res1 = lm_damping_iter(buckets, R, p, max_iters=5,
+                               gather_tables=True)
+        np.testing.assert_allclose(np.asarray(res0.R), np.asarray(res1.R),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res0.p), np.asarray(res1.p),
+                                   atol=1e-10)
+
     def test_gradient_matches_finite_difference(self):
         scene, vm, buckets = setup_problem(num_frames=4, ppf=1200)
         Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
