@@ -97,6 +97,9 @@ class SolverConfig:
     min_ps: int = 15                   # bavoxel.hpp:24
     layer_limit: int = 2               # bavoxel.hpp:13
     min_window_factor_ratio: int = 3   # skip window if < 3*win voxels (:259)
+    save_match_images: bool = False    # per-pair match dumps to result/
+                                       # (drawAndSaveMatchesGPU,
+                                       # lvba_system.cpp:823,1880-1920)
 
 
 @dataclasses.dataclass

@@ -505,6 +505,52 @@ void lvba_set_lapack(const char* path) {
   if (s) g_dgesv = (dgesv_t)s;
 }
 
+// Min-depth z-buffer rasterization of world points through the distorted
+// pinhole model (generateDepthWithVoxel hot loop, /root/reference/src/
+// lvba_system.cpp:885-901).  Mirrors pipeline/depth._zbuffer_host: f32
+// arithmetic in the same operation order, Z >= 1e-3 gate, min per integer
+// pixel, inf -> 0.  depth_out must hold H*W floats.
+void lvba_zbuffer(const float* pts, long n, const double* Rcw,
+                  const double* tcw, double fx, double fy, double cx,
+                  double cy, double k1, double k2, double p1d, double p2d,
+                  int W, int H, float* depth_out) {
+  const long hw = (long)H * W;
+  for (long i = 0; i < hw; ++i) depth_out[i] = INFINITY;
+  const float R00 = (float)Rcw[0], R01 = (float)Rcw[1], R02 = (float)Rcw[2];
+  const float R10 = (float)Rcw[3], R11 = (float)Rcw[4], R12 = (float)Rcw[5];
+  const float R20 = (float)Rcw[6], R21 = (float)Rcw[7], R22 = (float)Rcw[8];
+  const float t0 = (float)tcw[0], t1 = (float)tcw[1], t2 = (float)tcw[2];
+  const float fxf = (float)fx, fyf = (float)fy, cxf = (float)cx,
+              cyf = (float)cy;
+  const float k1f = (float)k1, k2f = (float)k2, p1f = (float)p1d,
+              p2f = (float)p2d;
+  for (long i = 0; i < n; ++i) {
+    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+    const float Z = R20 * px + R21 * py + R22 * pz + t2;
+    if (!(Z >= 1e-3f)) continue;
+    const float X = R00 * px + R01 * py + R02 * pz + t0;
+    const float Y = R10 * px + R11 * py + R12 * pz + t1;
+    const float x = X / Z, y = Y / Z;
+    const float r2 = x * x + y * y;
+    const float radial = 1.0f + k1f * r2 + k2f * r2 * r2;
+    const float xd = x * radial + 2.0f * p1f * x * y + p2f * (r2 + 2.0f * x * x);
+    const float yd = y * radial + p1f * (r2 + 2.0f * y * y) + 2.0f * p2f * x * y;
+    const float uf = fxf * xd + cxf;
+    const float vf = fyf * yd + cyf;
+    if (!std::isfinite(uf) || !std::isfinite(vf)) continue;
+    // trunc-toward-zero cast, same as numpy astype(int32): uf in (-1, 0)
+    // truncates to pixel 0 and stays in-bounds
+    if (uf <= -1.0f || uf >= (float)W || vf <= -1.0f || vf >= (float)H)
+      continue;
+    const int u = (int)uf, v = (int)vf;
+    if (u < 0 || u >= W || v < 0 || v >= H) continue;
+    float& d = depth_out[(long)v * W + u];
+    if (Z < d) d = Z;
+  }
+  for (long i = 0; i < hw; ++i)
+    if (!std::isfinite(depth_out[i])) depth_out[i] = 0.0f;
+}
+
 // Multithreaded plane-factor (residual, gradient, Hessian) evaluation.
 // n (V,K) f32; mu (V,K,3) f32; Pc (V,K,3,3) f32; frame (V,K) i32;
 // R (W,3,3) f64 row-major; p (W,3) f64; outputs resid (1), g (6W), H (6W,6W).

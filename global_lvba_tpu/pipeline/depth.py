@@ -163,11 +163,23 @@ def render_depth_maps(
     M = len(image_times)
     out = np.zeros((M, cam.height, cam.width), dtype=np.float32)
 
+    from ..native import runtime as nat
+
+    use_native = nat.get_lib() is not None and hasattr(
+        nat.get_lib(), "lvba_zbuffer"
+    )
+
     def one(i):
         vox = covisible_voxels(gm, lidar_times, float(image_times[i]), half_w)
         pts = gather_voxel_points(gm, vox)
         if pts.shape[0]:
-            out[i] = _zbuffer_host(cam, Rcw_all[i], tcw_all[i], pts)
+            if use_native:
+                # C++ rasterizer (float-exact mirror of _zbuffer_host):
+                # the numpy projection chain allocates ~15 temporaries per
+                # image and was the bulk of the 200-image depth stage
+                nat.zbuffer(pts, Rcw_all[i], tcw_all[i], cam, out=out[i])
+            else:
+                out[i] = _zbuffer_host(cam, Rcw_all[i], tcw_all[i], pts)
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(one, range(M)))

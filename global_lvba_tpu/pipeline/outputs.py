@@ -120,8 +120,17 @@ def colorize_clouds(
         radial = 1 + cam.k1 * r2 + cam.k2 * r2 * r2
         xd = x * radial + 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
         yd = y * radial + cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
-        u = np.round(cam.fx * xd + cam.cx).astype(np.int64)
-        v = np.round(cam.fy * yd + cam.cy).astype(np.int64)
+        # points far outside the FOV can blow `radial` up to inf/NaN —
+        # clip before the int cast (UB otherwise) and drop non-finite
+        # coordinates; the in-bounds mask below keeps semantics unchanged
+        with np.errstate(invalid="ignore"):
+            ok &= np.isfinite(xd) & np.isfinite(yd)
+            u = np.round(
+                np.clip(cam.fx * np.nan_to_num(xd) + cam.cx, -1, W)
+            ).astype(np.int64)
+            v = np.round(
+                np.clip(cam.fy * np.nan_to_num(yd) + cam.cy, -1, H)
+            ).astype(np.int64)
         ok &= (u >= 0) & (u < W) & (v >= 0) & (v < H)
         lin = v * W + u
         # per-pixel argmin depth

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -155,6 +156,7 @@ def extract_and_match_sift(
     ds,                      # io.dataset.Dataset
     cfg: LvbaConfig,
     params: Optional[SiftParams] = None,
+    result_dir=None,
 ) -> Tuple[List[np.ndarray], Dict[Tuple[int, int], np.ndarray]]:
     """Full frontend from a Dataset: load, extract, match all pairs.
 
@@ -182,6 +184,24 @@ def extract_and_match_sift(
         ok = (mi >= 0) & (mj >= 0)
         if np.any(ok):
             matches_out[(i, j)] = np.stack([mi[ok], mj[ok]], axis=-1).astype(np.int32)
+    if cfg.solver.save_match_images and result_dir is not None:
+        # per-pair match visualizations, reference behavior
+        # (drawAndSaveMatchesGPU into result/, lvba_system.cpp:823)
+        import cv2
+
+        from .outputs import draw_matches
+
+        rdir = Path(result_dir)
+        rdir.mkdir(parents=True, exist_ok=True)
+        for (i, j), m in matches_out.items():
+            img1 = cv2.imread(str(ds.image_paths[i]), cv2.IMREAD_COLOR)
+            img2 = cv2.imread(str(ds.image_paths[j]), cv2.IMREAD_COLOR)
+            if img1 is None or img2 is None:
+                continue
+            draw_matches(
+                img1, img2, kps_out[i], kps_out[j], m,
+                path=rdir / f"matches_{i:04d}_{j:04d}.jpg",
+            )
     log.info(
         "[sift] %d images, %d pairs matched, mean kp %.0f",
         M, len(matches_out), np.mean([k.shape[0] for k in kps_out]),

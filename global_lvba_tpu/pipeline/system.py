@@ -86,7 +86,9 @@ class LvbaSystem:
             log.warning("[frontend] COLMAP db unusable, falling back to built-in SIFT")
         from .sift_frontend import extract_and_match_sift
 
-        return extract_and_match_sift(self.ds, self.cfg)
+        return extract_and_match_sift(
+            self.ds, self.cfg, result_dir=self.out_dir / "result"
+        )
 
     def run_visual_ba(self):
         stage = "visual_ba"

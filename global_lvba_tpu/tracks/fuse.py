@@ -49,21 +49,34 @@ class FuseResult(NamedTuple):
     tri_valid: jnp.ndarray
 
 
-def _bilinear_depth(depth_maps, img, uv, valid):
-    """Per-observation bilinear depth with the reference's validity rules."""
+def _bilinear_depth_host(depth_maps, img, uv, valid):
+    """Per-observation bilinear depth with the reference's validity rules
+    (fetch_depth_bilinear, lvba_system.cpp:1020-1056).
+
+    Runs on the HOST: the depth stack ((M, H, W) — ~245 MB at 200 images)
+    already lives host-side from the rasterizer, and the fuse kernel only
+    needs the 4 taps around each observation; uploading the full stack to
+    the device just to gather 4·O values cost seconds of pure transfer per
+    pipeline through the tunneled link."""
     Mh, H, W = depth_maps.shape
+    uv = np.asarray(uv, np.float64)
+    valid = np.asarray(valid)
+    img_s = np.where(valid, np.asarray(img), 0)
     u, v = uv[..., 0], uv[..., 1]
     inb = (u >= 0) & (v >= 0) & (u < W - 1) & (v < H - 1) & valid
-    x = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
-    y = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    x = np.clip(np.floor(u).astype(np.int32), 0, W - 2)
+    y = np.clip(np.floor(v).astype(np.int32), 0, H - 2)
     du = u - x
     dv = v - y
-    d00 = depth_maps[img, y, x]
-    d10 = depth_maps[img, y, x + 1]
-    d01 = depth_maps[img, y + 1, x]
-    d11 = depth_maps[img, y + 1, x + 1]
+    d00 = depth_maps[img_s, y, x].astype(np.float64)
+    d10 = depth_maps[img_s, y, x + 1].astype(np.float64)
+    d01 = depth_maps[img_s, y + 1, x].astype(np.float64)
+    d11 = depth_maps[img_s, y + 1, x + 1].astype(np.float64)
     pos = (d00 > 0) & (d10 > 0) & (d01 > 0) & (d11 > 0)
-    d = (1 - du) * (1 - dv) * d00 + du * (1 - dv) * d10 + (1 - du) * dv * d01 + du * dv * d11
+    d = (
+        (1 - du) * (1 - dv) * d00 + du * (1 - dv) * d10
+        + (1 - du) * dv * d01 + du * dv * d11
+    )
     return d, inb & pos & (d > 0)
 
 
@@ -145,11 +158,11 @@ def _dlt(cam, Rcw_o, tcw_o, uv_obs, member):
     return X, ok
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10))
 def _fuse_all(
     cam: CameraModel,
     obs_img, obs_uv, obs_valid,
-    depth_maps, Rcw_all, tcw_all,
+    d, dvalid, Rcw_all, tcw_all,
     obser_thr: int,
     min_view_angle_deg: float,
     reproj_thr: float,
@@ -160,7 +173,7 @@ def _fuse_all(
     C_o = -jnp.einsum("toji,toj->toi", Rcw_o, tcw_o)  # camera centers
 
     # ---------------- depth-fused candidate ----------------
-    d, dvalid = _bilinear_depth(depth_maps, obs_img, obs_uv, obs_valid)
+    # d/dvalid: host-fetched bilinear depths (_bilinear_depth_host)
     xy_n, uok = undistort_pixel_to_normalized(cam, obs_uv)
     Xc = jnp.concatenate([xy_n * d[..., None], d[..., None]], axis=-1)
     Xw_o = jnp.einsum("toji,toj->toi", Rcw_o, Xc - tcw_o)  # cam→world
@@ -255,12 +268,17 @@ def fuse_tracks(
     reproj_thr: float = 3.0,
     dtype=jnp.float32,
 ) -> FuseResult:
+    d, dvalid = _bilinear_depth_host(
+        np.asarray(depth_maps), tracks.obs_img, tracks.obs_uv,
+        tracks.obs_valid,
+    )
     return _fuse_all(
         cam,
         jnp.asarray(tracks.obs_img),
         jnp.asarray(tracks.obs_uv, dtype),
         jnp.asarray(tracks.obs_valid),
-        jnp.asarray(depth_maps, dtype),
+        jnp.asarray(d, dtype),
+        jnp.asarray(dvalid),
         jnp.asarray(Rcw_all, dtype),
         jnp.asarray(tcw_all, dtype),
         int(obser_thr),

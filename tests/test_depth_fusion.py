@@ -127,10 +127,11 @@ class TestDepthFusedPath:
         assert n_depth > 0, "depth-fused candidate never selected"
 
     def test_bilinear_validity_matches_camera_module(self):
-        """tracks.fuse._bilinear_depth must agree with the reference-parity
-        fetch_depth_bilinear (utils.hpp:246-274) on validity and value."""
+        """tracks.fuse._bilinear_depth_host must agree with the
+        reference-parity fetch_depth_bilinear (utils.hpp:246-274) on
+        validity and value."""
         from global_lvba_tpu.geometry.camera import fetch_depth_bilinear
-        from global_lvba_tpu.tracks.fuse import _bilinear_depth
+        from global_lvba_tpu.tracks.fuse import _bilinear_depth_host
 
         rng = np.random.default_rng(2)
         H, W = 40, 50
@@ -139,9 +140,8 @@ class TestDepthFusedPath:
         depth[0, 10:12, 10:12] = 0.0
         uv = rng.uniform(-2, max(H, W) + 2, size=(200, 2)).astype(np.float32)
         img = np.zeros(200, np.int32)
-        d1, v1 = _bilinear_depth(
-            jnp.asarray(depth), jnp.asarray(img), jnp.asarray(uv),
-            jnp.ones(200, bool),
+        d1, v1 = _bilinear_depth_host(
+            depth, img, uv, np.ones(200, bool),
         )
         d2, v2 = fetch_depth_bilinear(jnp.asarray(depth[0]), jnp.asarray(uv))
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

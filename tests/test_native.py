@@ -77,6 +77,30 @@ class TestNative:
             np.testing.assert_allclose(g_nat, g_ref, rtol=1e-8, atol=1e-12)
             np.testing.assert_allclose(H_nat, H_ref, rtol=1e-8, atol=1e-12)
 
+    def test_zbuffer_matches_host_rasterizer(self):
+        from scipy.spatial.transform import Rotation
+
+        from global_lvba_tpu.geometry.camera import CameraModel
+        from global_lvba_tpu.pipeline.depth import _zbuffer_host
+
+        cam = CameraModel(fx=400.0, fy=410.0, cx=320.0, cy=240.0,
+                          k1=-0.05, k2=0.08, p1=-0.001, p2=0.0005,
+                          width=640, height=480)
+        rng = np.random.default_rng(7)
+        N = 300_000
+        pts = rng.uniform(-8, 8, size=(N, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 20, size=N)
+        Rcw = Rotation.from_rotvec([0.05, -0.1, 0.02]).as_matrix()
+        tcw = np.array([0.1, -0.2, 0.5])
+        d_py = _zbuffer_host(cam, Rcw, tcw, pts)
+        d_nat = nat.zbuffer(pts, Rcw, tcw, cam)
+        assert d_nat is not None
+        # f32 rounding differences (numpy's BLAS projection vs the scalar
+        # FMA chain) may flip a handful of occlusion-boundary pixels; the
+        # rasterization must agree everywhere else
+        frac = np.mean(np.abs(d_py - d_nat) > 1e-6)
+        assert frac < 1e-3, f"{frac:.2e} of pixels differ"
+
     def test_lm_solve_matches_oracle(self):
         # the full native damped-LM loop (bench's at-scale CPU baseline)
         # must track the reference-faithful oracle exactly
