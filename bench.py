@@ -374,6 +374,103 @@ def bench_w512():
     ), mfu
 
 
+def bench_w2048():
+    """Large-W scaling point: corridor W=2048 global anchor BA through the
+    block-banded Gram path (auto-selected; plane_eigen.build_banded_groups).
+    The dense Gram at this W costs ~(W/2B)² more flops — this line is the
+    measured demonstration of the designed scaling axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from global_lvba_tpu.map.voxelize import build_voxel_map
+    from global_lvba_tpu.models.synthetic import (
+        ate_rmse, make_corridor_scene, perturb_poses,
+    )
+    from global_lvba_tpu.factors.padding import buckets_to_device
+    from global_lvba_tpu.solver.lm import lm_damping_iter
+
+    W = 2048
+    ITERS = 3
+    scene = make_corridor_scene(num_frames=W, points_per_frame=1000, seed=0)
+    vm = build_voxel_map(
+        scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+        voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+    )
+    buckets = buckets_to_device(vm, dtype=jnp.float32)
+    Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
+    R = jax.device_put(jnp.asarray(Rp, jnp.float32))
+    p = jax.device_put(jnp.asarray(pp, jnp.float32))
+    res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
+    np.asarray(res.R)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
+        np.asarray(res.R)
+        ts.append(time.perf_counter() - t0)
+    n_pts = int(scene.points_body.shape[0])
+    return (
+        min(ts) / ITERS * 1e3,
+        ate_rmse(pp, scene.p_true),
+        ate_rmse(np.asarray(res.p, np.float64), scene.p_true),
+        n_pts,
+    )
+
+
+def bench_visual_m1000():
+    """Visual solver at M=1000 cameras / 20k points / 200k observations:
+    the Retail_Street-scale image count (VERDICT r2 item 6).  The auto
+    solver must engage the matrix-free Schur path (Q = 2M pairs)."""
+    import jax
+
+    from global_lvba_tpu.geometry.camera import CameraModel
+    from global_lvba_tpu.eval.oracle import _np_project, _exp_so3
+    from global_lvba_tpu.solver.schur import VisualBAProblem, solve_visual_ba
+
+    rng = np.random.default_rng(0)
+    M, P, OBS_PER_PT = 1000, 20000, 10
+    ITERS = 5
+    cam = CameraModel(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
+                      k1=-0.05, k2=0.08, p1=-0.001, p2=0.0005,
+                      width=640, height=480)
+    Rcw = np.zeros((M, 3, 3))
+    tcw = np.zeros((M, 3))
+    for m in range(M):
+        Rcw[m] = _exp_so3(rng.normal(scale=0.05, size=3))
+        tcw[m] = [0.02 * m, 0.0, 4.0]
+    X = rng.uniform(-3, 3, size=(P, 3))
+    X[:, 0] += rng.uniform(0, 0.02 * M, size=P)
+    X[:, 2] = rng.uniform(8, 12, size=P)
+    base = rng.integers(0, M - OBS_PER_PT + 1, size=P)
+    obs_pt = np.repeat(np.arange(P, dtype=np.int32), OBS_PER_PT)
+    obs_cam = (base[:, None] + np.arange(OBS_PER_PT)[None, :]).reshape(-1)
+    obs_cam = obs_cam.astype(np.int32)
+    uv, ok = _np_project(cam, Rcw[obs_cam], tcw[obs_cam], X[obs_pt])
+    obs_uv = uv + rng.normal(scale=0.3, size=uv.shape)
+    pn = np.tile(np.array([[0.0, 0.0, 1.0]]), (P, 1))
+    pd = -X[:, 2].copy()
+    prob = VisualBAProblem(
+        cam=cam, obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
+        plane_n=pn, plane_d=pd, num_cams=M, num_pts=P,
+    )
+    Rp = Rcw.copy()
+    tp = tcw.copy()
+    for m in range(1, M):
+        Rp[m] = Rcw[m] @ _exp_so3(rng.normal(scale=0.002, size=3))
+        tp[m] = tcw[m] + rng.normal(scale=0.01, size=3)
+    r = solve_visual_ba(prob, Rp, tp, X, max_iters=ITERS)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = solve_visual_ba(prob, Rp, tp, X, max_iters=ITERS)
+        np.asarray(r.R)
+        ts.append(time.perf_counter() - t0)
+    return (
+        min(ts) / ITERS * 1e3, int(obs_cam.shape[0]),
+        float(r.cost0), float(r.cost),
+    )
+
+
 def bench_visual_m200():
     import jax
 
@@ -474,6 +571,22 @@ def main():
             extras["visual_m200_cost"] = [round(c0, 1), round(c1, 1)]
         except Exception as e:
             extras["visual_error"] = str(e)[:120]
+
+        try:
+            ms, ate0, ate1, n_pts = bench_w2048()
+            extras["w2048_ms_per_iter"] = round(ms, 2)
+            extras["w2048_ate_m"] = [round(ate0, 5), round(ate1, 5)]
+            extras["w2048_points"] = n_pts
+        except Exception as e:
+            extras["w2048_error"] = str(e)[:120]
+
+        try:
+            ms, n_obs, c0, c1 = bench_visual_m1000()
+            extras["visual_m1000_ms_per_iter"] = round(ms, 2)
+            extras["visual_m1000_obs"] = n_obs
+            extras["visual_m1000_cost"] = [round(c0, 1), round(c1, 1)]
+        except Exception as e:
+            extras["visual_m1000_error"] = str(e)[:120]
 
     result = {
         "metric": "lidar_ba_lm_iters_per_sec_W50",

@@ -307,6 +307,164 @@ def frame_slot_table(fa: PlaneFactorArrays, W: int) -> jnp.ndarray:
     return jnp.asarray(inv)
 
 
+# ---------------------------------------------------------------------------
+# Block-banded Gram assembly (large-W scaling)
+# ---------------------------------------------------------------------------
+# A voxel's observers are temporally CONTIGUOUS frames (the sensor passes
+# through its region once), so each voxel's factor rows touch only a narrow
+# column window of the (6W)² Hessian.  Grouping voxels by the frame BLOCK
+# their span starts in and Gramming each group at local width 2B cuts the
+# Gram flops by ~(2B/W)² versus the dense assembly — the designed scaling
+# axis for W >= 2048 global anchor BA (the reference never solves above a
+# few hundred poses; bavoxel.hpp:662-767 is dense).
+
+
+class BandedGroups(NamedTuple):
+    """Stacked banded groups of one bucket: G groups of equal padded shape
+    (one jit signature per bucket tier regardless of W)."""
+
+    fa: PlaneFactorArrays      # each leaf (G, Vp, K[, ...])
+    inv: jnp.ndarray           # (G, Vp, 2B) int32 local frame-slot table
+    offset: jnp.ndarray        # (G,) int32 frame offset of each window
+    wide_fa: PlaneFactorArrays  # straggler voxels, full-width (may be empty)
+    wide_inv: jnp.ndarray      # (Vw, W) int32
+
+
+def build_banded_groups(
+    fa: PlaneFactorArrays, W: int, block: int = None,
+) -> BandedGroups:
+    """Host-build stacked banded voxel groups for one bucket.
+
+    Every non-straggler group gets the SAME local width 2B with a
+    host-chosen frame offset (the last window is shifted left so it stays
+    in range) and the same padded voxel count, so the whole band evaluates
+    as one lax.scan.  Voxels whose observer span exceeds two blocks go to
+    a full-width straggler group."""
+    frame = np.asarray(fa.frame)
+    nn = np.asarray(fa.n)
+    mu = np.asarray(fa.mu)
+    Pc = np.asarray(fa.Pc)
+    V, K = frame.shape
+    valid = nn > 0
+    any_valid = valid.any(axis=1)
+    fbig = np.where(valid, frame, W)
+    fsml = np.where(valid, frame, -1)
+    fmin = np.where(any_valid, fbig.min(axis=1), 0)
+    fmax = np.where(any_valid, fsml.max(axis=1), 0)
+    span = fmax - fmin + 1
+    if block is None:
+        # smallest power of two covering the 99th-percentile span: nearly
+        # every voxel fits a 2-block window, stragglers go full-width
+        p99 = float(np.percentile(span[any_valid], 99)) if any_valid.any() else 1.0
+        block = 1 << max(int(np.ceil(np.log2(max(p99, 1.0)))), 3)
+    block = min(block, max(W // 2, 1))
+    width = min(2 * block, W)
+    n_blk = (W + block - 1) // block
+    start_blk = fmin // block
+    wide = (fmax // block - start_blk) > 1
+
+    def pack(idx, Vp, f_off, w_loc):
+        pad = Vp - idx.size
+        sub_fa = PlaneFactorArrays(
+            n=np.pad(nn[idx], ((0, pad), (0, 0))),
+            mu=np.pad(mu[idx], ((0, pad), (0, 0), (0, 0))),
+            Pc=np.pad(Pc[idx], ((0, pad), (0, 0), (0, 0), (0, 0))),
+            frame=np.pad(frame[idx], ((0, pad), (0, 0))),
+        )
+        inv = np.full((Vp, w_loc), K, np.int32)
+        v_i, k_i = np.nonzero(nn[idx] > 0)
+        inv[v_i, frame[idx][v_i, k_i] - f_off] = k_i.astype(np.int32)
+        return sub_fa, inv
+
+    idxs, offs = [], []
+    for s in range(n_blk):
+        idx = np.flatnonzero(any_valid & ~wide & (start_blk == s))
+        if idx.size == 0:
+            continue
+        idxs.append(idx)
+        offs.append(min(s * block, W - width))
+    Vp = max(8, 1 << int(np.ceil(np.log2(max(
+        [i.size for i in idxs], default=1)))))
+    if not idxs:
+        idxs = [np.zeros(0, np.int64)]
+        offs = [0]
+    fas, invs = zip(*[pack(i, Vp, o, width) for i, o in zip(idxs, offs)])
+    stacked = PlaneFactorArrays(
+        n=jnp.asarray(np.stack([f.n for f in fas])),
+        mu=jnp.asarray(np.stack([f.mu for f in fas])),
+        Pc=jnp.asarray(np.stack([f.Pc for f in fas])),
+        frame=jnp.asarray(np.stack([f.frame for f in fas])),
+    )
+    inv = jnp.asarray(np.stack(invs))
+    offset = jnp.asarray(np.asarray(offs, np.int32))
+
+    wid = np.flatnonzero(any_valid & wide)
+    # Vw = 0 when there are no stragglers: a padded non-empty straggler
+    # group would cost a full (6W)² Gram of zeros per evaluation
+    Vw = 0 if wid.size == 0 else max(8, 1 << int(np.ceil(np.log2(wid.size))))
+    wfa, winv = pack(wid, Vw, 0, W)
+    wide_fa = PlaneFactorArrays(
+        n=jnp.asarray(wfa.n), mu=jnp.asarray(wfa.mu),
+        Pc=jnp.asarray(wfa.Pc), frame=jnp.asarray(wfa.frame),
+    )
+    return BandedGroups(
+        fa=stacked, inv=inv, offset=offset,
+        wide_fa=wide_fa, wide_inv=jnp.asarray(winv),
+    )
+
+
+def banded_cgh(bg: BandedGroups, R, p, W: int):
+    """(resid, g (W,6), Hd (W,6,6), H (6W,6W) CROSS part): one lax.scan
+    over the stacked windows — each step evaluates its voxels at local
+    width 2B, Grams (12B)², and read-modify-writes the H window at its
+    (traced) frame offset via dynamic slices."""
+    dt = R.dtype
+    G, Vp, K = bg.fa.n.shape
+    width = bg.inv.shape[-1]
+
+    def body(carry, inp):
+        resid_a, g_a, Hd_a, H_a = carry
+        fa_g, inv_g, off = inp
+        r_, g_l, Hd_l, M = _chunk_eval_soa(fa_g, R, p, width, inv_g)
+        gram = jax.lax.dot_general(
+            M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(6 * width, 6 * width)
+        z = jnp.zeros((), off.dtype)
+        o6 = 6 * off
+        win = jax.lax.dynamic_slice(H_a, (o6, o6), (6 * width, 6 * width))
+        H_a = jax.lax.dynamic_update_slice(H_a, win - gram, (o6, o6))
+        gw = jax.lax.dynamic_slice(g_a, (off, z), (width, 6))
+        g_a = jax.lax.dynamic_update_slice(g_a, gw + g_l, (off, z))
+        hw = jax.lax.dynamic_slice(Hd_a, (off, z, z), (width, 6, 6))
+        Hd_a = jax.lax.dynamic_update_slice(Hd_a, hw + Hd_l, (off, z, z))
+        return (resid_a + r_, g_a, Hd_a, H_a), None
+
+    zvar = (bg.fa.n.ravel()[0] * 0).astype(dt)
+    init = (
+        zvar,
+        jnp.zeros((W, 6), dt) + zvar,
+        jnp.zeros((W, 6, 6), dt) + zvar,
+        jnp.zeros((6 * W, 6 * W), dt) + zvar,
+    )
+    (resid, g, Hd, H), _ = jax.lax.scan(body, init, (bg.fa, bg.inv, bg.offset))
+
+    # stragglers: one full-width gather evaluation
+    if int(bg.wide_fa.n.shape[0]) > 0:
+        r_, g_l, Hd_l, M = _chunk_eval_soa(bg.wide_fa, R, p, W, bg.wide_inv)
+        gram = jax.lax.dot_general(
+            M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(6 * W, 6 * W)
+        resid = resid + r_
+        g = g + g_l
+        Hd = Hd + Hd_l
+        H = H - gram
+    return resid, g, Hd, H
+
+
 def _frame_table_np(frame: "np.ndarray", n: "np.ndarray", W: int) -> "np.ndarray":
     """(W, Kf) frame-major index table over the FLAT (v, k) entries: row w
     lists every valid entry observing frame w, padded with the sentinel

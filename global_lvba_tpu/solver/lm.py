@@ -31,6 +31,8 @@ import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
     PlaneFactorArrays,
+    banded_cgh,
+    build_banded_groups,
     frame_gather_table,
     frame_slot_table,
     plane_cost,
@@ -125,6 +127,7 @@ def lm_damping_iter(
     h_sharding=None,
     reduced_solver: str = "auto",
     gather_tables: bool = None,
+    hessian: str = "auto",
 ) -> LMResult:
     """Run damped LM over plane-eigen factor buckets.
 
@@ -140,18 +143,31 @@ def lm_damping_iter(
     compact factor rows — opt-in; on this hardware the Gram wins up to
     W≈4-8k, see the auto-policy note), or "auto" (cg once 6W >= 1536,
     else LU).
+
+    hessian: "dense" Grams every bucket at full width W; "banded" groups
+    voxels by observer-span frame block and Grams at local width 2B
+    (plane_eigen.build_banded_groups) — Gram flops drop ~(2B/W)² on
+    span-limited trajectories (corridors); "auto" measures the estimated
+    flop ratio host-side at W >= 512 and picks banded when it saves >= 4x.
     """
     W = R0.shape[0]
     solver = str(reduced_solver)
     if solver == "auto":
-        # LU is O((6W)^3) and lowers poorly on TPU (many small blocked
-        # steps); preconditioned CG wins once the state is large.  The
-        # matrix-free path (cg_mf) stays OPT-IN: its per-matvec row
-        # gathers serialize on TPU, so the one-time Gram (one dense MXU
-        # pass) beats it even at sparse coupling (measured: corridor
-        # W=1024, max 59 observers — Gram-CG 162 vs rows-CG 970 ms/iter);
-        # single-chip Gram holds to W≈4-8k anchors, beyond which the
-        # window→anchor hierarchy + Morton sharding scale out
+        # CROSSOVER POLICY (measured, TPU v5e 1 chip):
+        #   * reduced solve: LU below 6W = 1536, block-Jacobi CG above —
+        #     LU is O((6W)^3) and lowers poorly on TPU;
+        #   * Hessian assembly: dense Gram below W = 1024; at W >= 1024
+        #     the banded auto-probe below engages the block-banded Gram
+        #     when observer spans are local (>= 4x flop saving), cutting
+        #     assembly flops by ~(2B/W)²;
+        #   * cg_mf (fully matrix-free rows) stays OPT-IN: per-matvec row
+        #     gathers serialize on TPU — corridor W=1024: Gram-CG 162 vs
+        #     rows-CG 970 ms/iter — and the banded Gram now covers the
+        #     sparse-coupling regime it was meant for;
+        #   * single-chip ceiling: the assembled (6W)² f32 H reaches
+        #     ~2.4 GB at W = 4096 and ~9.5 GB at W = 8192 (HBM 16 GB);
+        #     beyond that, the window→anchor hierarchy + Morton factor
+        #     sharding (parallel/spatial.py) scale across chips.
         solver = "cg" if 6 * W >= 1536 else "lu"
     if solver == "cg_mf":
         if h_sharding is not None:
@@ -168,6 +184,29 @@ def lm_damping_iter(
             tuple(buckets), tables, R0, p0, int(max_iters), float(u_init),
             float(v_init), float(rel_tol),
         )
+    if hessian in ("auto", "banded") and h_sharding is None:
+        want = hessian == "banded"
+        # auto engages only at W >= 1024: the group build fetches the
+        # bucket stats to host (one round trip per leaf through a remote
+        # link), which only pays for itself once the dense Gram dominates
+        if want or W >= 1024:
+            groups_all = []
+            dense_cost = banded_cost = 0
+            for fa in buckets:
+                bg = build_banded_groups(fa, W)
+                groups_all.append(bg)
+                dense_cost += fa.n.shape[0] * W * W
+                G, Vp, _ = bg.fa.n.shape
+                width = bg.inv.shape[-1]
+                banded_cost += G * Vp * width * width
+                banded_cost += bg.wide_fa.n.shape[0] * W * W
+            if want or banded_cost * 4 <= dense_cost:
+                g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+                return _lm_banded_jitted(
+                    tuple(groups_all), R0, p0, int(max_iters),
+                    float(u_init), float(v_init), float(rel_tol),
+                    solver, int(g_size),
+                )
     if gather_tables is None:
         gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
     invs = (
@@ -269,6 +308,72 @@ def _lm_jitted(
             frz(H_new, H),
             jnp.where(done, it, it + 1),
             done | converged,
+        )
+
+    R, p, u, v, res1, g, H, it, done = jax.lax.fori_loop(
+        0, max_iters, body_fn, state
+    )
+    return LMResult(R=R, p=p, iters=it, residual=res1)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
+                      rel_tol, reduced_solver, g_size):
+    """Banded-Hessian LM: identical Nielsen loop to _lm_jitted, but the
+    normal equations assemble through block-banded Grams
+    (plane_eigen.banded_cgh) — the large-W scaling path.  `g_size` comes
+    from the ORIGINAL buckets so the AVG_THR residual normalization is
+    identical to the dense path."""
+    W = R0.shape[0]
+    g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
+    solver = reduced_solver
+
+    def cgh(R, p):
+        resid = jnp.zeros((), R0.dtype)
+        g = jnp.zeros((W, 6), R0.dtype)
+        Hd = jnp.zeros((W, 6, 6), R0.dtype)
+        H = jnp.zeros((6 * W, 6 * W), R0.dtype)
+        for bg in groups_all:
+            r_, g_, Hd_, H_ = banded_cgh(bg, R, p, W)
+            resid, g, Hd, H = resid + r_, g + g_, Hd + Hd_, H + H_
+        Hq = H.reshape(W, 6, W, 6)
+        Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
+        return resid / g_size_f, g.reshape(W * 6), Hq.reshape(W * 6, W * 6)
+
+    res1_0, g_0, H_0 = cgh(R0, p0)
+    state = (
+        R0, p0,
+        jnp.asarray(u_init, R0.dtype), jnp.asarray(v_init, R0.dtype),
+        res1_0, g_0, H_0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+    )
+
+    def body_fn(_i, s):
+        R, p, u, v, res1, g, H, it, done = s
+        if solver == "cg":
+            from .dist_solve import solve_damped_cg
+
+            dx = solve_damped_cg(H, g, u, h_sharding=None, max_iters=96)
+        else:
+            dx = _solve_damped(H, g, u)
+        dxp = dx.reshape(W, 6)
+        R_t, p_t = boxplus_pose(R, p, dxp)
+        d = jnp.diagonal(H)
+        q1 = 0.5 * jnp.dot(dx, u * d * dx - g) / g_size_f
+        res2, g_t, H_t = cgh(R_t, p_t)
+        accept, u_new, v_new, converged = _nielsen_update(
+            res1, res2, q1, u, v, rel_tol
+        )
+        R_new = jnp.where(accept, R_t, R)
+        p_new = jnp.where(accept, p_t, p)
+        g_new = jnp.where(accept, g_t, g)
+        H_new = jnp.where(accept, H_t, H)
+        res1_new = jnp.where(accept, res2, res1)
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (
+            frz(R_new, R), frz(p_new, p), frz(u_new, u), frz(v_new, v),
+            frz(res1_new, res1), frz(g_new, g), frz(H_new, H),
+            jnp.where(done, it, it + 1), done | converged,
         )
 
     R, p, u, v, res1, g, H, it, done = jax.lax.fori_loop(

@@ -111,6 +111,71 @@ class TestPlaneGradHess:
         np.testing.assert_allclose(np.asarray(res0.p), np.asarray(res1.p),
                                    atol=1e-10)
 
+    def test_banded_cgh_matches_dense(self):
+        # block-banded Gram assembly (large-W scaling path) must equal the
+        # dense assembly; a deliberately small block forces voxels into
+        # the full-width straggler group so that path is covered too
+        from global_lvba_tpu.factors.plane_eigen import (
+            banded_cgh, build_banded_groups,
+        )
+        from global_lvba_tpu.models.synthetic import make_corridor_scene
+        from global_lvba_tpu.map.voxelize import build_voxel_map
+        from global_lvba_tpu.factors.padding import buckets_to_device
+
+        W = 64
+        scene = make_corridor_scene(num_frames=W, points_per_frame=1000,
+                                    seed=4)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = buckets_to_device(vm, dtype=jnp.float64)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        saw_stragglers = False
+        for fa in buckets:
+            r0, g0, H0 = plane_cost_grad_hess(fa, R, p, W)
+            for block in (None, 8):
+                bg = build_banded_groups(fa, W, block=block)
+                saw_stragglers |= int(bg.wide_fa.n.shape[0]) > 0
+                r1, g1, Hd1, H1 = banded_cgh(bg, R, p, W)
+                Hq = (
+                    H1.reshape(W, 6, W, 6)
+                    .at[jnp.arange(W), :, jnp.arange(W), :].add(Hd1)
+                )
+                np.testing.assert_allclose(float(r0), float(r1), rtol=1e-12)
+                np.testing.assert_allclose(np.asarray(g0).reshape(W, 6),
+                                           np.asarray(g1), atol=1e-10)
+                np.testing.assert_allclose(np.asarray(H0).reshape(W, 6, W, 6),
+                                           np.asarray(Hq), atol=1e-10)
+        assert saw_stragglers, "block=8 fixture produced no wide voxels"
+
+    def test_banded_lm_matches_dense_lm(self):
+        from global_lvba_tpu.models.synthetic import make_corridor_scene
+        from global_lvba_tpu.map.voxelize import build_voxel_map
+        from global_lvba_tpu.factors.padding import buckets_to_device
+        from global_lvba_tpu.solver.lm import lm_damping_iter
+
+        W = 96
+        scene = make_corridor_scene(num_frames=W, points_per_frame=1000,
+                                    seed=5)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = buckets_to_device(vm, dtype=jnp.float64)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.005, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        r0 = lm_damping_iter(buckets, R, p, max_iters=5, hessian="dense")
+        r1 = lm_damping_iter(buckets, R, p, max_iters=5, hessian="banded")
+        np.testing.assert_allclose(np.asarray(r0.R), np.asarray(r1.R),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(r0.p), np.asarray(r1.p),
+                                   atol=1e-9)
+        assert int(r0.iters) == int(r1.iters)
+
     def test_gradient_matches_finite_difference(self):
         scene, vm, buckets = setup_problem(num_frames=4, ppf=1200)
         Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
