@@ -141,18 +141,22 @@ def run_window_ba(
             cfg.BALM_stage1.root_voxel_size, wcfg.eigen_ratio_array, cfg,
         )
 
-    executor = ThreadPoolExecutor(max_workers=1)
-    futures = {}
-    if starts:
-        futures[starts[0]] = executor.submit(build_for, starts[0])
+    import os as _os
+
+    # all window builds submitted upfront on a small pool: the numpy/native
+    # binning releases the GIL in its sort/reduce phases, so builds overlap
+    # both each other and the device solves (one worker of lookahead left
+    # ~16 s of the 200-frame window stage serialized on host binning)
+    executor = ThreadPoolExecutor(max_workers=min(4, _os.cpu_count() or 1))
+    merge_pool = ThreadPoolExecutor(max_workers=2)
+    merge_futures = []  # (anchor_idx, future) — resolved after the loop
+    futures = {start: executor.submit(build_for, start) for start in starts}
     for wi, start in enumerate(starts):
         end = min(start + window, F)
         win = end - start
         if win <= 0:
             break
         stats["windows"] += 1
-        if wi + 1 < len(starts):
-            futures[starts[wi + 1]] = executor.submit(build_for, starts[wi + 1])
         R_win = R_full[start:end].copy()
         p_win = p_full[start:end].copy()
         R_odom, p_odom = R_win.copy(), p_win.copy()
@@ -182,21 +186,29 @@ def run_window_ba(
 
         aR, ap = R_odom[0], p_odom[0]
         anchor_idx = len(anchor_R)
-        merged = []
-        for j in range(win):
-            Rr = aR.T @ R_aligned[j]
-            pr = aR.T @ (p_aligned[j] - ap)
-            merged.append((Rr @ clouds[start + j].T).T + pr)
-            rel_R[start + j] = Rr
-            rel_p[start + j] = pr
-            anchor_index[start + j] = anchor_idx
-        merged = np.concatenate(merged).astype(np.float32)
-        merged = downsample_nearest_center(merged, wcfg.anchor_leaf_size)
+        rel_R_win = np.einsum("ji,fjk->fik", aR, R_aligned)
+        rel_p_win = np.einsum("ji,fj->fi", aR, p_aligned - ap)
+        rel_R[start:end] = rel_R_win
+        rel_p[start:end] = rel_p_win
+        anchor_index[start:end] = anchor_idx
+
+        def merge_win(start=start, win=win, rel_R_win=rel_R_win,
+                      rel_p_win=rel_p_win):
+            merged = np.concatenate([
+                (rel_R_win[j] @ clouds[start + j].T).T + rel_p_win[j]
+                for j in range(win)
+            ]).astype(np.float32)
+            return downsample_nearest_center(merged, wcfg.anchor_leaf_size)
+
         anchor_R.append(aR)
         anchor_p.append(ap)
-        anchor_clouds.append(merged)
+        # transform+downsample off the critical path: depends only on this
+        # window's solution, so it overlaps the next windows' solves
+        merge_futures.append(merge_pool.submit(merge_win))
 
+    anchor_clouds.extend(f.result() for f in merge_futures)
     executor.shutdown(wait=True)
+    merge_pool.shutdown(wait=True)
     stats["time_s"] = time.time() - t0
     if stats["windows"]:
         log.info(

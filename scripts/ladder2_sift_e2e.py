@@ -1,0 +1,123 @@
+"""Measurement-ladder (2): full pipeline with the BUILT-IN SIFT frontend.
+
+Writes a reference-layout dataset whose images are textured ray-cast
+renders of the synthetic scene (models/synthetic.render_textured_views —
+high-entropy value-noise texture, replacing the round-2 hashed-cell splat
+renders whose flat cells starved the frontend at 20 tracks / 40 images),
+then runs the complete LvbaSystem with no COLMAP db so the SiftGPU-fallback
+path (lvba_system.cpp:687-833) carries the whole visual stage.
+
+Prints one JSON line with track/observation counts, reprojection, ATE and
+stage times.  Usage:  [JAX_PLATFORMS=cpu] python scripts/ladder2_sift_e2e.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    import cv2
+
+    from global_lvba_tpu.config import LvbaConfig
+    from global_lvba_tpu.io.pcd import write_pcd
+    from global_lvba_tpu.io.tum import write_tum_poses
+    from global_lvba_tpu.models.synthetic import (
+        ate_rmse, make_joint_scene, perturb_poses, render_textured_views,
+    )
+    from global_lvba_tpu.pipeline.depth import camera_world_to_cam
+    from global_lvba_tpu.pipeline.system import LvbaSystem
+
+    num_frames = int(os.environ.get("LADDER2_FRAMES", "40"))
+    js = make_joint_scene(
+        num_frames=num_frames, points_per_frame=20000, seed=13, px_noise=0.3
+    )
+    sc = js.lidar
+    R_odom, p_odom = perturb_poses(sc.R_true, sc.p_true, 0.003, 0.008, seed=21)
+
+    root = Path(tempfile.mkdtemp(prefix="ladder2_"))
+    img_dir = root / "all_image"
+    pcd_dir = root / "all_pcd_body"
+    img_dir.mkdir()
+    pcd_dir.mkdir()
+
+    # textured renders from the TRUE camera poses (the imagery shows the
+    # real world; the pipeline starts from the perturbed odometry)
+    Rcw_gt, tcw_gt = camera_world_to_cam(
+        js.Rci, js.tci, sc.R_true[js.image_frame], sc.p_true[js.image_frame]
+    )
+    t0 = time.time()
+    imgs = render_textured_views(sc, js.cam, Rcw_gt, tcw_gt)
+    render_s = time.time() - t0
+    for i, t in enumerate(js.image_times):
+        cv2.imwrite(
+            str(img_dir / f"{t:.6f}.png"),
+            (imgs[i] * 255).clip(0, 255).astype(np.uint8),
+        )
+    write_tum_poses(
+        img_dir / "image_poses.txt", js.image_times,
+        R_odom[js.image_frame], p_odom[js.image_frame],
+    )
+    for i, t in enumerate(sc.times):
+        write_pcd(pcd_dir / f"{t:.6f}.pcd", sc.points_body[sc.frame_ids == i])
+    write_tum_poses(pcd_dir / "lidar_poses.txt", sc.times, R_odom, p_odom)
+
+    cfg = LvbaConfig()
+    cfg.data_config.data_path = str(root)
+    cfg.data_config.colmap_db_path = "nonexistent.db"  # force built-in SIFT
+    cfg.data_config.image_sample_step = 1
+    cfg.cam_model.cam_width = js.cam.width
+    cfg.cam_model.cam_height = js.cam.height
+    cfg.cam_model.scale = 1.0
+    cfg.cam_model.cam_fx = js.cam.fx
+    cfg.cam_model.cam_fy = js.cam.fy
+    cfg.cam_model.cam_cx = js.cam.cx
+    cfg.cam_model.cam_cy = js.cam.cy
+    cfg.cam_model.cam_d0 = js.cam.k1
+    cfg.cam_model.cam_d1 = js.cam.k2
+    cfg.cam_model.cam_d2 = js.cam.p1
+    cfg.cam_model.cam_d3 = js.cam.p2
+    cfg.extrin_calib.Rcl = list(js.Rci.reshape(-1))
+    cfg.extrin_calib.Pcl = list(js.tci)
+    cfg.window_ba.size = 10
+    cfg.window_ba.anchor_leaf_size = 0.02
+    cfg.window_ba.use_window_ba_rel = True
+    cfg.BALM_stage1.root_voxel_size = 1.0
+    cfg.BALM_stage1.eigen_ratio_array = [0.2] * 4
+    cfg.BALM_stage2.root_voxel_size = 0.5
+    cfg.BALM_stage2.eigen_ratio_array = [0.08] * 4
+
+    t0 = time.time()
+    sysm = LvbaSystem(cfg, out_dir=root / "lvba_out", resume=False)
+    sysm.run_lidar_ba()
+    res = sysm.run_visual_ba()
+    total_s = time.time() - t0
+
+    obs_cam, obs_pt, obs_uv = res.track_obs
+    out = {
+        "metric": "ladder2_sift_e2e",
+        "frames": num_frames,
+        "images": len(js.image_times),
+        "tracks": int(np.max(obs_pt) + 1) if obs_pt.size else 0,
+        "observations": int(obs_cam.shape[0]),
+        "reproj_px": [round(float(res.mean_reproj_pre), 3),
+                      round(float(res.mean_reproj_post), 3)],
+        "ate_m": [
+            round(ate_rmse(p_odom, sc.p_true), 5),
+            round(ate_rmse(sysm.p_opt, sc.p_true), 5),
+        ],
+        "render_s": round(render_s, 1),
+        "pipeline_s": round(total_s, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,77 @@ class TestMatching:
         out = match_all_pairs(descs, valids, pairs)
         assert set(out.keys()) == set(pairs)
         assert all(m.shape[0] > 100 for m in out.values())
+
+
+class TestTexturedRenderFixture:
+    """SIFT quality on ray-cast textured renders of the synthetic scene —
+    the high-entropy fixture replacing the round-2 hashed-cell splat
+    texture (VERDICT r2 item 9).  Matches are verified geometrically via
+    the render's exact depth."""
+
+    def _views(self):
+        from global_lvba_tpu.geometry.camera import CameraModel
+        from global_lvba_tpu.models.synthetic import (
+            make_plane_scene, render_textured_views,
+        )
+        from scipy.spatial.transform import Rotation
+
+        cam = CameraModel(fx=220.0, fy=220.0, cx=160.0, cy=120.0,
+                          k1=-0.05, k2=0.02, p1=-0.001, p2=0.0005,
+                          width=320, height=240)
+        scene = make_plane_scene(num_frames=4, points_per_frame=100, seed=9)
+        # camera looks along world +x at the box wall
+        R0 = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        C0 = np.array([-1.0, 0.0, 0.0])
+        dRot = Rotation.from_rotvec([0.0, 0.02, 0.03]).as_matrix()
+        C1 = C0 + np.array([0.0, 0.2, 0.08])
+        Rcw = np.stack([R0, dRot @ R0])
+        tcw = np.stack([-R0 @ C0, -(dRot @ R0) @ C1])
+        imgs, depths = render_textured_views(
+            scene, cam, Rcw, tcw, return_depth=True
+        )
+        return cam, imgs, depths, Rcw, tcw
+
+    def test_match_yield_and_geometry(self):
+        cam, imgs, depths, Rcw, tcw = self._views()
+        # the render has real texture everywhere: expect a rich detection
+        f0 = extract_sift(jnp.asarray(imgs[0]), PARAMS)
+        f1 = extract_sift(jnp.asarray(imgs[1]), PARAMS)
+        v0 = np.asarray(f0.valid)
+        v1 = np.asarray(f1.valid)
+        assert v0.sum() > 200 and v1.sum() > 200
+        m = match_pair_arrays(
+            np.asarray(f0.desc), np.asarray(f1.desc), v0, v1
+        )
+        assert m.shape[0] >= 50, f"only {m.shape[0]} matches"
+        # geometric verification: unproject kp0 by the render's own depth,
+        # transfer into view 1, compare against the matched kp1
+        from global_lvba_tpu.geometry.camera import (
+            undistort_pixel_to_normalized,
+        )
+
+        kp0 = np.asarray(f0.xy)[m[:, 0]]
+        kp1 = np.asarray(f1.xy)[m[:, 1]]
+        ui = np.clip(kp0[:, 0].round().astype(int), 0, cam.width - 1)
+        vi = np.clip(kp0[:, 1].round().astype(int), 0, cam.height - 1)
+        z = depths[0, vi, ui]
+        xy_n, ok = undistort_pixel_to_normalized(cam, jnp.asarray(kp0))
+        xy_n = np.asarray(xy_n)
+        Xc0 = np.concatenate([xy_n * z[:, None], z[:, None]], axis=1)
+        Xw = (Xc0 - tcw[0]) @ Rcw[0]          # Rcw0ᵀ (Xc - t)
+        Xc1 = Xw @ Rcw[1].T + tcw[1]
+        good = (z > 0.1) & (Xc1[:, 2] > 0.1) & ok
+        x, y = Xc1[:, 0] / Xc1[:, 2], Xc1[:, 1] / Xc1[:, 2]
+        r2 = x * x + y * y
+        radial = 1 + cam.k1 * r2 + cam.k2 * r2 * r2
+        xd = x * radial + 2 * cam.p1 * x * y + cam.p2 * (r2 + 2 * x * x)
+        yd = y * radial + cam.p1 * (r2 + 2 * y * y) + 2 * cam.p2 * x * y
+        uv1 = np.stack([cam.fx * xd + cam.cx, cam.fy * yd + cam.cy], axis=1)
+        err = np.linalg.norm(uv1 - kp1, axis=1)[good]
+        assert err.size >= 30
+        med = float(np.median(err))
+        # nearest-pixel depth + subpixel kp localization bound ~1.5 px
+        assert med < 2.0, f"median transfer error {med:.2f} px"
+        # inlier rate: the overwhelming majority of ratio-test matches must
+        # be geometrically consistent
+        assert float(np.mean(err < 3.0)) > 0.8
