@@ -27,6 +27,7 @@ the aggregated world covariance, total residual is the sum over voxels
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -36,6 +37,21 @@ import numpy as np
 from ..map.voxelize import PlaneFactorBucket
 from ..ops.eigh3 import eigh3x3, eigh3_soa, eigvals3_soa
 from ..geometry.so3 import hat
+
+
+def _gram_precision():
+    """Matmul precision of the -MᵀM Gram only (selection matmuls stay
+    HIGHEST — they must not round the factor rows).  f32 HIGHEST is six
+    bf16 passes; HIGH (three passes, ~2^-21 relative) is a measured
+    candidate once the Gram dominates the evaluation.  Env knob so the
+    profiling script can sweep it; default stays HIGHEST until an
+    accuracy-gated on-chip measurement says otherwise."""
+    name = os.environ.get("LVBA_GRAM_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 class PlaneFactorArrays(NamedTuple):
@@ -255,7 +271,7 @@ def plane_cost_grad_hess(
         H_a = H_a - jax.lax.dot_general(
             M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=M.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_gram_precision(),
         )
         return (resid_a + resid, g_a + g, Hd_a + Hd, H_a), None
 
@@ -429,7 +445,7 @@ def banded_cgh(bg: BandedGroups, R, p, W: int):
         gram = jax.lax.dot_general(
             M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=dt,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_gram_precision(),
         ).reshape(6 * width, 6 * width)
         z = jnp.zeros((), off.dtype)
         o6 = 6 * off
@@ -456,7 +472,7 @@ def banded_cgh(bg: BandedGroups, R, p, W: int):
         gram = jax.lax.dot_general(
             M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=dt,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_gram_precision(),
         ).reshape(6 * W, 6 * W)
         resid = resid + r_
         g = g + g_l

@@ -95,6 +95,32 @@ def main():
         out[f"lm_resid_{name}"] = resid
         print(json.dumps(out), flush=True)
 
+    # Gram-precision sweep on the gather path (after the one-hot removal
+    # the Gram dominates; HIGH = 3 bf16 passes instead of 6).  The final
+    # ATE is the accuracy gate — HIGHEST's value is the reference.
+    from global_lvba_tpu.models.synthetic import ate_rmse
+
+    for prec in ("highest", "high"):
+        os.environ["LVBA_GRAM_PRECISION"] = prec
+        # the env knob is read at TRACE time — drop the cached executable
+        # or the second precision would silently reuse the first's trace
+        from global_lvba_tpu.solver.lm import _lm_jitted
+
+        _lm_jitted.clear_cache()
+        ms, flops = chained_eval_ms(buckets, invs, R, p, W)
+        t0 = time.perf_counter()
+        resf = lm_damping_iter(buckets, R, p, max_iters=4,
+                               gather_tables=True)
+        np.asarray(resf.R)
+        lm_ms = (time.perf_counter() - t0) / 4 * 1e3
+        out[f"eval_ms_gram_{prec}"] = round(ms, 2)
+        out[f"mfu_pct_gram_{prec}"] = round(
+            100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
+        out[f"ate_gram_{prec}"] = round(
+            ate_rmse(np.asarray(resf.p, np.float64), scene.p_true), 6)
+        print(json.dumps(out), flush=True)
+    os.environ["LVBA_GRAM_PRECISION"] = "highest"
+
 
 if __name__ == "__main__":
     main()
