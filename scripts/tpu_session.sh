@@ -1,0 +1,28 @@
+#!/bin/bash
+# One serialized TPU measurement session (run ALONE — one tunnel client at
+# a time).  Priority order: the measurements that decide engine defaults
+# first, then the bench artifact, then the e2e ladders.  Each step logs to
+# /tmp/tpu_session/ and a step failure does not stop later steps.
+set -u
+OUT=${1:-/tmp/tpu_session}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date))" | tee -a "$OUT/session.log"
+  timeout "${STEP_TIMEOUT:-2400}" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  echo "=== $name rc=$? ($(date))" | tee -a "$OUT/session.log"
+}
+
+# 1. W=512 variant profile: one-hot vs gather M-build, Gram precision
+run profile_w512 python scripts/profile_w512.py
+
+# 2. full bench artifact (all extras incl. w2048 banded + visual m1000)
+run bench python bench.py
+
+# 3. ladders
+run ladder2 python scripts/ladder2_sift_e2e.py
+run ladder3 python scripts/ladder3_e2e.py
+
+grep -h "" "$OUT"/*.out | tail -40
