@@ -266,3 +266,49 @@ class TestTexturedRenderFixture:
         # inlier rate: the overwhelming majority of ratio-test matches must
         # be geometrically consistent
         assert float(np.mean(err < 3.0)) > 0.8
+
+
+class TestMatchImageDumps:
+    def test_save_match_images_writes_result_dir(self, tmp_path):
+        """solver.save_match_images -> per-pair dumps under result/
+        (drawAndSaveMatchesGPU behavior, lvba_system.cpp:823)."""
+        import cv2
+        from types import SimpleNamespace
+
+        from global_lvba_tpu.config import LvbaConfig
+        from global_lvba_tpu.geometry.camera import CameraModel
+        from global_lvba_tpu.models.synthetic import (
+            make_plane_scene, render_textured_views,
+        )
+        from global_lvba_tpu.pipeline.sift_frontend import (
+            extract_and_match_sift,
+        )
+        from scipy.spatial.transform import Rotation
+
+        cam = CameraModel(fx=220.0, fy=220.0, cx=160.0, cy=120.0,
+                          k1=-0.05, k2=0.02, p1=-0.001, p2=0.0005,
+                          width=320, height=240)
+        scene = make_plane_scene(num_frames=4, points_per_frame=100, seed=9)
+        R0 = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        C0 = np.array([-1.0, 0.0, 0.0])
+        dR = Rotation.from_rotvec([0.0, 0.02, 0.03]).as_matrix()
+        C1 = C0 + np.array([0.0, 0.2, 0.08])
+        Rcw = np.stack([R0, dR @ R0])
+        tcw = np.stack([-R0 @ C0, -(dR @ R0) @ C1])
+        imgs = render_textured_views(scene, cam, Rcw, tcw)
+        paths = []
+        for i, im in enumerate(imgs):
+            p = tmp_path / f"{i}.png"
+            cv2.imwrite(str(p), (im * 255).astype(np.uint8))
+            paths.append(p)
+        ds = SimpleNamespace(image_paths=paths, cam=cam)
+        cfg = LvbaConfig()
+        cfg.solver.save_match_images = True
+        rdir = tmp_path / "result"
+        kps, matches = extract_and_match_sift(ds, cfg, params=PARAMS,
+                                              result_dir=rdir)
+        assert matches, "no pairs matched"
+        dumps = sorted(rdir.glob("matches_*.jpg"))
+        assert len(dumps) == len(matches)
+        canvas = cv2.imread(str(dumps[0]))
+        assert canvas is not None and canvas.shape[1] == 2 * cam.width
