@@ -62,6 +62,17 @@ class TestHaloExchange:
         np.testing.assert_allclose(ss, hs, rtol=1e-5, atol=1e-4)
         np.testing.assert_allclose(mm, hm, rtol=1e-4, atol=1e-2)
 
+    def test_capacity_overflow_raises(self):
+        """A shard with more unique voxels than `capacity` must raise, not
+        silently drop moments (segment_sum discards out-of-range ids)."""
+        import pytest
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-200, 200, size=(20000, 3)).astype(np.float32)
+        mesh = make_mesh(8, ("factors",))
+        with pytest.raises(ValueError, match="capacity overflow"):
+            distributed_voxel_moments(pts, 1.0, mesh, capacity=64)
+
     def test_boundary_voxels_merge(self):
         """Construct points of ONE voxel scattered across every device —
         the pure-halo case — and check the owner receives all partials."""
