@@ -242,7 +242,11 @@ def plane_cost_grad_hess(
     Gram-matrix assembly: H = scatter(diag extras) - Σ_chunks M_cᵀ M_c,
     chunked over voxels so the (V, W, 3, 6) factor matrix stays within
     `chunk_bytes`.  inv: optional frame_slot_table(fa, W) — switches the
-    frame expansion from one-hot matmuls to the gather path."""
+    frame expansion from one-hot matmuls to the gather path — or a
+    GatherPlan, which additionally reduces g/Hd frame-major and emits the
+    Gram operand in (3V, 6W) layout (_cgh_gather)."""
+    if isinstance(inv, GatherPlan):
+        return _cgh_gather(fa, R, p, num_frames, inv, chunk_bytes)
     V, K = fa.n.shape
     W = num_frames
     # per-voxel live bytes: the (W, 18) factor-row block, its transpose
@@ -302,6 +306,80 @@ def plane_cost_grad_hess(
     else:
         (resid, g, Hd, Hq), _ = jax.lax.scan(body, init, fa_p)
     H = Hq
+    H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
+    return resid, g, H
+
+
+class GatherPlan(NamedTuple):
+    """Host-built gather tables for the one-hot-free factor evaluation:
+    `inv` (V, W) frame->slot selection (frame_slot_table) expands the
+    factor rows to the Gram layout; `tbl` (W, Kf) frame-major entry table
+    (frame_gather_table) reduces g/Hd at O(V·K) without expanding the
+    42 jjt/D channels to width W at all."""
+
+    inv: jnp.ndarray   # (V, W) int32
+    tbl: jnp.ndarray   # (W, Kf) int32
+
+
+def build_gather_plan(fa: PlaneFactorArrays, W: int) -> GatherPlan:
+    return GatherPlan(frame_slot_table(fa, W), frame_gather_table(fa, W))
+
+
+def _cgh_gather(
+    fa: PlaneFactorArrays, R, p, W: int, plan: GatherPlan, chunk_bytes: int
+):
+    """Gather-plan factor evaluation -> (resid, g (W,6), H (W,6,W,6)).
+
+    Differences from the (V, W, 60)-expansion gather path (`inv` array):
+
+      * g/Hd reduce through the frame-major table (segsum_table) straight
+        off the compact (V, K) per-entry outputs — the 42 jjt/D channels
+        never expand to width W (225 MB/eval saved at the representative
+        W = 512 scene);
+      * the factor matrix is emitted DIRECTLY in (3V, 6W) layout by
+        gathering the (V, 3, K, 6)-transposed rows with a row-tripled
+        slot table, so the Gram is a single 2-D AᵀA dot_general with no
+        relayout between the gather and the matmul (the (V, W, 3, 6)
+        multi-dim Gram needed XLA to transpose internally);
+      * `LVBA_GRAM_KERNEL=pallas` swaps the XLA full Gram for the
+        lower-triangle Pallas SYRK (ops/pallas/gram.py) — half the
+        matmul flops, measured choice.
+    """
+    V, K = fa.n.shape
+    dt = R.dtype
+    resid, jjt6, D36, rows18 = _soa_core(fa, R, p, W)
+    g = segsum_table(jjt6.reshape(V * K, 6), plan.tbl)
+    Hd = segsum_table(D36.reshape(V * K, 36), plan.tbl).reshape(W, 6, 6)
+
+    use_pallas = os.environ.get("LVBA_GRAM_KERNEL", "xla") == "pallas"
+    r36 = jnp.swapaxes(rows18.reshape(V, K, 3, 6), 1, 2)   # (V, 3, K, 6)
+    chunk = max(1, min(V, chunk_bytes // (W * 18 * 4 * 2)))
+    gram = jnp.zeros((6 * W, 6 * W), dt) + (fa.n.ravel()[0] * 0).astype(dt)
+    for lo in range(0, V, chunk):
+        hi = min(V, lo + chunk)
+        Vc = hi - lo
+        rc = r36[lo:hi].reshape(Vc * 3, K, 6)
+        rcp = jnp.concatenate([rc, jnp.zeros((Vc * 3, 1, 6), dt)], axis=1)
+        inv3 = jnp.repeat(plan.inv[lo:hi], 3, axis=0)      # (3Vc, W)
+        A = jnp.take_along_axis(
+            rcp, inv3[:, :, None], axis=1
+        ).reshape(Vc * 3, 6 * W)
+        if use_pallas:
+            from ..ops.pallas.gram import syrk
+
+            gram = gram + syrk(
+                A,
+                precision=os.environ.get(
+                    "LVBA_GRAM_PRECISION", "highest"
+                ).lower(),
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            gram = gram + jax.lax.dot_general(
+                A, A, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=_gram_precision(),
+            )
+    H = (-gram).reshape(W, 6, W, 6)
     H = H.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
     return resid, g, H
 

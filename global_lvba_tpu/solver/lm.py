@@ -33,6 +33,7 @@ from ..factors.plane_eigen import (
     PlaneFactorArrays,
     banded_cgh,
     build_banded_groups,
+    build_gather_plan,
     frame_gather_table,
     frame_slot_table,
     plane_cost,
@@ -210,7 +211,7 @@ def lm_damping_iter(
     if gather_tables is None:
         gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
     invs = (
-        tuple(frame_slot_table(fa, W) for fa in buckets)
+        tuple(build_gather_plan(fa, W) for fa in buckets)
         if gather_tables else None
     )
     return _lm_jitted(

@@ -1,8 +1,11 @@
 """Profile the W=512 factor evaluation variants on the real chip.
 
 Compares, per evaluation (chained on-device loop, min-of-N):
-  * one-hot frame expansion (current default) vs frame_slot_table gather
-  * full LM iteration time under both
+  * one-hot frame expansion vs the (V, W, 60) slot-table gather vs the
+    GatherPlan path (frame-major g/Hd + (3V, 6W) Gram operand)
+  * XLA full Gram vs the Pallas lower-triangle SYRK
+  * Gram matmul precision (HIGHEST vs HIGH), ATE-gated
+  * full LM iteration time under one-hot vs GatherPlan
 Prints one JSON line per variant.  Run ALONE (one TPU client at a time).
 """
 
@@ -23,7 +26,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 from global_lvba_tpu.map.voxelize import build_voxel_map
 from global_lvba_tpu.models.synthetic import make_plane_scene, perturb_poses
 from global_lvba_tpu.factors.padding import buckets_to_device
-from global_lvba_tpu.factors.plane_eigen import frame_slot_table
+from global_lvba_tpu.factors.plane_eigen import (
+    build_gather_plan,
+    frame_slot_table,
+)
 from global_lvba_tpu.solver.lm import _total_cgh, lm_damping_iter
 
 
@@ -68,6 +74,12 @@ def lm_ms_per_iter(buckets, R, p, gather, iters=4):
     return min(ts) / iters * 1e3, float(res.residual)
 
 
+def _clear_lm_cache():
+    from global_lvba_tpu.solver.lm import _lm_jitted
+
+    _lm_jitted.clear_cache()
+
+
 def main():
     W = int(os.environ.get("PROF_W", "512"))
     scene = make_plane_scene(num_frames=W, points_per_frame=2000, seed=0)
@@ -79,47 +91,68 @@ def main():
     Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
     R = jax.device_put(jnp.asarray(Rp, jnp.float32))
     p = jax.device_put(jnp.asarray(pp, jnp.float32))
-    invs = tuple(frame_slot_table(fa, W) for fa in buckets)
+    invs60 = tuple(frame_slot_table(fa, W) for fa in buckets)
+    plans = tuple(build_gather_plan(fa, W) for fa in buckets)
 
     peak = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
     out = {"W": W}
-    for name, iv in (("onehot", None), ("gather", invs)):
-        ms, flops = chained_eval_ms(buckets, iv, R, p, W)
+
+    def eval_variant(name, iv, env=None):
+        env = env or {}
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            ms, flops = chained_eval_ms(buckets, iv, R, p, W)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         out[f"eval_ms_{name}"] = round(ms, 2)
         out[f"mfu_pct_{name}"] = round(100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
         out[f"eval_gflop_{name}"] = round(flops / 1e9, 1)
         print(json.dumps(out), flush=True)
-    for name, gather in (("onehot", False), ("gather", True)):
+
+    eval_variant("onehot", None)
+    eval_variant("gather60", invs60)
+    eval_variant("plan", plans)
+    eval_variant("plan_syrk", plans, env={"LVBA_GRAM_KERNEL": "pallas"})
+
+    for name, gather in (("onehot", False), ("plan", True)):
+        _clear_lm_cache()
         ms, resid = lm_ms_per_iter(buckets, R, p, gather)
         out[f"lm_ms_per_iter_{name}"] = round(ms, 2)
         out[f"lm_resid_{name}"] = resid
         print(json.dumps(out), flush=True)
 
-    # Gram-precision sweep on the gather path (after the one-hot removal
-    # the Gram dominates; HIGH = 3 bf16 passes instead of 6).  The final
-    # ATE is the accuracy gate — HIGHEST's value is the reference.
+    # Gram-precision x kernel sweep on the plan path (after the one-hot
+    # removal the Gram dominates; HIGH = 3 bf16 passes instead of 6).  The
+    # final ATE is the accuracy gate — HIGHEST's value is the reference.
     from global_lvba_tpu.models.synthetic import ate_rmse
 
-    for prec in ("highest", "high"):
-        os.environ["LVBA_GRAM_PRECISION"] = prec
-        # the env knob is read at TRACE time — drop the cached executable
-        # or the second precision would silently reuse the first's trace
-        from global_lvba_tpu.solver.lm import _lm_jitted
-
-        _lm_jitted.clear_cache()
-        ms, flops = chained_eval_ms(buckets, invs, R, p, W)
-        t0 = time.perf_counter()
-        resf = lm_damping_iter(buckets, R, p, max_iters=4,
-                               gather_tables=True)
-        np.asarray(resf.R)
-        lm_ms = (time.perf_counter() - t0) / 4 * 1e3
-        out[f"eval_ms_gram_{prec}"] = round(ms, 2)
-        out[f"mfu_pct_gram_{prec}"] = round(
-            100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
-        out[f"ate_gram_{prec}"] = round(
-            ate_rmse(np.asarray(resf.p, np.float64), scene.p_true), 6)
-        print(json.dumps(out), flush=True)
+    for kern in ("xla", "pallas"):
+        for prec in ("highest", "high"):
+            os.environ["LVBA_GRAM_PRECISION"] = prec
+            os.environ["LVBA_GRAM_KERNEL"] = kern
+            # env knobs are read at TRACE time — drop cached executables
+            _clear_lm_cache()
+            ms, flops = chained_eval_ms(buckets, plans, R, p, W)
+            t0 = time.perf_counter()
+            resf = lm_damping_iter(buckets, R, p, max_iters=4,
+                                   gather_tables=True)
+            np.asarray(resf.R)
+            lm_ms = (time.perf_counter() - t0) / 4 * 1e3
+            tag = f"{kern}_{prec}"
+            out[f"eval_ms_gram_{tag}"] = round(ms, 2)
+            out[f"mfu_pct_gram_{tag}"] = round(
+                100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
+            out[f"lm_ms_gram_{tag}"] = round(lm_ms, 2)
+            out[f"ate_gram_{tag}"] = round(
+                ate_rmse(np.asarray(resf.p, np.float64), scene.p_true), 6)
+            print(json.dumps(out), flush=True)
     os.environ["LVBA_GRAM_PRECISION"] = "highest"
+    os.environ.pop("LVBA_GRAM_KERNEL", None)
 
 
 if __name__ == "__main__":

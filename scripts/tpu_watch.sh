@@ -1,0 +1,31 @@
+#!/bin/bash
+# Background tunnel watcher: probe with a tiny jit every 5 min; on the first
+# success, immediately run the full serialized measurement session
+# (scripts/tpu_session.sh) so any recovery window is used.  Logs to
+# /tmp/tpu_watch.log; touches /tmp/tpu_up when the probe first succeeds and
+# /tmp/tpu_session_done when the session script finishes.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/tpu_watch.log
+rm -f /tmp/tpu_up /tmp/tpu_session_done
+echo "watch start $(date)" >>"$LOG"
+while true; do
+  if timeout 300 python - >>"$LOG" 2>&1 <<'EOF'
+import time
+t0 = time.time()
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((64, 64))
+y = np.asarray(x @ x)
+print(f"probe ok {float(y[0,0])} {jax.devices()} {time.time()-t0:.1f}s", flush=True)
+EOF
+  then
+    touch /tmp/tpu_up
+    echo "tunnel UP $(date) — starting session" >>"$LOG"
+    STEP_TIMEOUT=2400 bash scripts/tpu_session.sh /tmp/tpu_session >>"$LOG" 2>&1
+    touch /tmp/tpu_session_done
+    echo "session done $(date)" >>"$LOG"
+    exit 0
+  fi
+  echo "probe timeout $(date)" >>"$LOG"
+  sleep 240
+done

@@ -111,6 +111,58 @@ class TestPlaneGradHess:
         np.testing.assert_allclose(np.asarray(res0.p), np.asarray(res1.p),
                                    atol=1e-10)
 
+    def test_gather_plan_path_matches_onehot(self):
+        # GatherPlan path: g/Hd reduce frame-major (segsum) and the Gram
+        # contracts the (3V, 6W)-layout operand — summation ORDER differs
+        # from the one-hot matmuls, so agreement is at f64 rounding level
+        # rather than bitwise
+        from global_lvba_tpu.factors.plane_eigen import build_gather_plan
+
+        scene, vm, buckets = setup_problem(num_frames=12, ppf=1500)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        W = R.shape[0]
+        for fa in buckets:
+            r0, g0, H0 = plane_cost_grad_hess(fa, R, p, W)
+            plan = build_gather_plan(fa, W)
+            r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W, inv=plan)
+            np.testing.assert_allclose(float(r0), float(r1), rtol=1e-12)
+            gs = max(np.abs(np.asarray(g0)).max(), 1e-30)
+            Hs = max(np.abs(np.asarray(H0)).max(), 1e-30)
+            np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                       atol=1e-12 * gs)
+            np.testing.assert_allclose(np.asarray(H0), np.asarray(H1),
+                                       atol=1e-12 * Hs)
+
+    def test_gather_plan_pallas_syrk_matches(self):
+        # the Pallas lower-triangle SYRK Gram (interpret mode on CPU) must
+        # reproduce the XLA full-Gram GatherPlan evaluation
+        import os
+
+        from global_lvba_tpu.factors.plane_eigen import build_gather_plan
+
+        scene, vm, buckets = setup_problem(num_frames=8, ppf=1500)
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        W = R.shape[0]
+        fa = buckets[0]
+        plan = build_gather_plan(fa, W)
+        r0, g0, H0 = plane_cost_grad_hess(fa, R, p, W, inv=plan)
+        os.environ["LVBA_GRAM_KERNEL"] = "pallas"
+        try:
+            r1, g1, H1 = plane_cost_grad_hess(fa, R, p, W, inv=plan)
+        finally:
+            del os.environ["LVBA_GRAM_KERNEL"]
+        Hs = max(np.abs(np.asarray(H0)).max(), 1e-30)
+        np.testing.assert_allclose(float(r0), float(r1), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=0)
+        np.testing.assert_allclose(np.asarray(H0), np.asarray(H1),
+                                   atol=1e-12 * Hs)
+        H1m = np.asarray(H1).reshape(W * 6, W * 6)
+        np.testing.assert_allclose(H1m, H1m.T, atol=1e-12 * Hs)
+
     def test_banded_cgh_matches_dense(self):
         # block-banded Gram assembly (large-W scaling path) must equal the
         # dense assembly; a deliberately small block forces voxels into
