@@ -160,9 +160,25 @@ class VoxelMap:
 def _reduceat_moments(
     pts: np.ndarray, sort_idx: np.ndarray, starts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-segment (count, sum, raw second moment) via reduceat (host, f64)."""
+    """Per-segment (count, sum, raw second moment) via reduceat (host, f64).
+
+    Large inputs route to the threaded native accumulator
+    (lvba_bin_moments) — same sequential in-segment summation order as
+    reduceat, so both paths agree to f64 rounding; the numpy fallback
+    keeps the package toolchain-free."""
+    counts = np.diff(np.append(starts, sort_idx.shape[0]))
+    if sort_idx.shape[0] > 1 << 16:
+        try:
+            from ..native import runtime as _nat
+
+            out = _nat.bin_moments(
+                np.asarray(pts, np.float64), sort_idx, starts
+            )
+            if out is not None:
+                return counts, out[0], out[1]
+        except Exception:
+            pass
     p = pts[sort_idx].astype(np.float64)
-    counts = np.diff(np.append(starts, p.shape[0]))
     s = np.add.reduceat(p, starts, axis=0)
     # second moments: Σ x xᵀ as 6 unique entries
     xx = np.empty((p.shape[0], 6), dtype=np.float64)
@@ -216,11 +232,32 @@ def build_voxel_map(
     R64 = np.asarray(R, dtype=np.float64)
     p64 = np.asarray(p, dtype=np.float64)
     W = R64.shape[0]
-    world = np.einsum("nij,nj->ni", R64[fid], pts) + p64[fid]
+    world = None
+    if pts.shape[0] > 1 << 16:
+        try:
+            from ..native import runtime as _nat
+
+            # threaded C++: the numpy einsum gathers (N, 3, 3) rotation
+            # copies and ran 1.6 s at 2M points (the largest single host
+            # cost of the build)
+            world = _nat.transform_points(pts, fid, R64, p64)
+        except Exception:
+            world = None
+    if world is None:
+        world = np.einsum("nij,nj->ni", R64[fid], pts) + p64[fid]
 
     # running state: which points are still active; their current-level key
     active = np.arange(pts.shape[0])
-    keys = pack_voxel_keys(voxel_coords(world, voxel_size))
+    keys = None
+    if world.shape[0] > 1 << 16:
+        try:
+            from ..native import runtime as _nat
+
+            keys = _nat.voxel_keys64(world, voxel_size)
+        except Exception:
+            keys = None
+    if keys is None:
+        keys = pack_voxel_keys(voxel_coords(world, voxel_size))
 
     plane_keys: List[np.ndarray] = []
     plane_index: List[np.ndarray] = []

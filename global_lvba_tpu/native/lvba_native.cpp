@@ -69,6 +69,36 @@ int lvba_voxel_keys(const float* pts, long n, double voxel_size,
   return 0;
 }
 
+// f64 threaded variant (world coordinates are f64 on the host path; the
+// f32 divide+floor can land one voxel off near cell boundaries).
+int lvba_voxel_keys64(const double* pts, long n, double voxel_size,
+                      int n_threads, long long* keys_out) {
+  const long long OFF = 1LL << 19;
+  const long long LIM = 1LL << 20;
+  int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  std::vector<int> bad(T, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    long lo = n * (long)t / T, hi = n * (long)(t + 1) / T;
+    threads.emplace_back([=, &bad]() {
+      for (long i = lo; i < hi; ++i) {
+        long long k = 0;
+        for (int j = 0; j < 3; ++j) {
+          long long c = (long long)std::floor(pts[i * 3 + j] / voxel_size) + OFF;
+          if (c < 0 || c >= LIM) { bad[t] = 1; return; }
+          k = (k << 20) | c;
+        }
+        keys_out[i] = k;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; ++t)
+    if (bad[t]) return -1;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // 8-pass LSD radix sort of int64 keys; fills the permutation (argsort).
 void lvba_radix_argsort(const long long* keys, long n, long long* perm_out) {
@@ -497,6 +527,78 @@ extern "C" {
 
 // Point dgesv at an optimized LAPACK (e.g. scipy's bundled OpenBLAS).
 // Tries the scipy_-prefixed symbol first, then the plain Fortran name.
+// Threaded body->world point transform: out_i = R[fid_i] pts_i + p[fid_i].
+// The numpy formulation (R[fid] fancy-gather to (N, 3, 3) then einsum)
+// materializes 144 MB of per-point rotation copies at 2M points and ran
+// 1.6 s single-threaded — the single largest host cost of
+// build_voxel_map before this kernel.
+void lvba_transform_points(const double* pts, const int* fid, long n,
+                           const double* R, const double* p, int n_threads,
+                           double* out) {
+  int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    long lo = n * (long)t / T, hi = n * (long)(t + 1) / T;
+    threads.emplace_back([=]() {
+      for (long i = lo; i < hi; ++i) {
+        const double* Ri = R + 9L * fid[i];
+        const double* pi = p + 3L * fid[i];
+        const double* x = pts + 3 * i;
+        double* o = out + 3 * i;
+        o[0] = Ri[0] * x[0] + Ri[1] * x[1] + Ri[2] * x[2] + pi[0];
+        o[1] = Ri[3] * x[0] + Ri[4] * x[1] + Ri[5] * x[2] + pi[1];
+        o[2] = Ri[6] * x[0] + Ri[7] * x[1] + Ri[8] * x[2] + pi[2];
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Threaded per-segment point-moment accumulation: the host half of
+// cut_voxel's per-voxel stats (/root/reference/include/BALM/
+// bavoxel.hpp:799-836).  For segment i, rows sort_idx[starts[i] ..
+// starts[i+1]) of pts (n, 3) accumulate (sum xyz, sum of the 6 unique
+// xxT entries) SEQUENTIALLY in segment order — the same order
+// np.add.reduceat uses, so the numpy fallback and this path agree to
+// f64 rounding.  Threads split the segment list by equal point counts.
+void lvba_bin_moments(const double* pts, const long long* sort_idx, long n,
+                      const long long* starts, long s, int n_threads,
+                      double* sums /* (s, 3) */, double* moms /* (s, 6) */) {
+  int T = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((long)T > s) T = (int)(s > 0 ? s : 1);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < T; ++t) {
+    // balance by POINTS, not segments: segment sizes are heavy-tailed
+    long p_lo = n * (long)t / T, p_hi = n * (long)(t + 1) / T;
+    // segment range covering [p_lo, p_hi): first segment whose start
+    // >= p_lo .. first whose start >= p_hi (starts is sorted, starts[0]=0)
+    long s_lo = (long)(std::lower_bound(starts, starts + s, (long long)p_lo) - starts);
+    long s_hi = (long)(std::lower_bound(starts, starts + s, (long long)p_hi) - starts);
+    threads.emplace_back([=]() {
+      for (long i = s_lo; i < s_hi; ++i) {
+        long e0 = starts[i];
+        long e1 = (i + 1 < s) ? (long)starts[i + 1] : n;
+        double s0 = 0, s1 = 0, s2 = 0;
+        double m0 = 0, m1 = 0, m2 = 0, m3 = 0, m4 = 0, m5 = 0;
+        for (long e = e0; e < e1; ++e) {
+          const double* q = pts + 3 * sort_idx[e];
+          double x = q[0], y = q[1], z = q[2];
+          s0 += x; s1 += y; s2 += z;
+          m0 += x * x; m1 += x * y; m2 += x * z;
+          m3 += y * y; m4 += y * z; m5 += z * z;
+        }
+        double* so = sums + 3 * i;
+        so[0] = s0; so[1] = s1; so[2] = s2;
+        double* mo = moms + 6 * i;
+        mo[0] = m0; mo[1] = m1; mo[2] = m2; mo[3] = m3; mo[4] = m4; mo[5] = m5;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 void lvba_set_lapack(const char* path) {
   void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
   if (!h) return;

@@ -67,6 +67,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.lvba_voxel_keys.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_double, ctypes.c_void_p,
     ]
+    if hasattr(lib, "lvba_voxel_keys64"):
+        lib.lvba_voxel_keys64.restype = ctypes.c_int
+        lib.lvba_voxel_keys64.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_double, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
     lib.lvba_radix_argsort.restype = None
     lib.lvba_radix_argsort.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
@@ -91,6 +97,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+    if hasattr(lib, "lvba_transform_points"):
+        lib.lvba_transform_points.restype = None
+        lib.lvba_transform_points.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+    if hasattr(lib, "lvba_bin_moments"):
+        lib.lvba_bin_moments.restype = None
+        lib.lvba_bin_moments.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
     if hasattr(lib, "lvba_lm_solve"):
         lib.lvba_lm_solve.restype = None
@@ -152,6 +171,23 @@ def voxel_keys(pts: np.ndarray, voxel_size: float) -> Optional[np.ndarray]:
     return out if rc == 0 else None
 
 
+def voxel_keys64(pts: np.ndarray, voxel_size: float,
+                 n_threads: int = 0) -> Optional[np.ndarray]:
+    """Fused threaded floor+pack of f64 world points -> int64 voxel keys
+    (same convention as map.voxelize.pack_voxel_keys(voxel_coords(...)))."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_voxel_keys64"):
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    out = np.empty(pts.shape[0], dtype=np.int64)
+    rc = lib.lvba_voxel_keys64(
+        pts.ctypes.data_as(ctypes.c_void_p), pts.shape[0],
+        float(voxel_size), n_threads,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None
+
+
 def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
@@ -163,6 +199,55 @@ def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def transform_points(pts: np.ndarray, fid: np.ndarray, R: np.ndarray,
+                     p: np.ndarray, n_threads: int = 0):
+    """Threaded out_i = R[fid_i] @ pts_i + p[fid_i] (f64), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_transform_points"):
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    fid = np.ascontiguousarray(fid, dtype=np.int32)
+    R = np.ascontiguousarray(R, dtype=np.float64)
+    p = np.ascontiguousarray(p, dtype=np.float64)
+    out = np.empty_like(pts)
+    lib.lvba_transform_points(
+        pts.ctypes.data_as(ctypes.c_void_p),
+        fid.ctypes.data_as(ctypes.c_void_p),
+        pts.shape[0],
+        R.ctypes.data_as(ctypes.c_void_p),
+        p.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def bin_moments(pts: np.ndarray, sort_idx: np.ndarray,
+                starts: np.ndarray, n_threads: int = 0):
+    """Threaded per-segment (sum xyz, sum xxT-6) accumulation over sorted
+    point segments — the hot half of build_voxel_map's host binning.
+    Returns (sums (S, 3), moms (S, 6)) f64, or None without the lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_bin_moments"):
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    sort_idx = np.ascontiguousarray(sort_idx, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    S = starts.shape[0]
+    sums = np.empty((S, 3), dtype=np.float64)
+    moms = np.empty((S, 6), dtype=np.float64)
+    lib.lvba_bin_moments(
+        pts.ctypes.data_as(ctypes.c_void_p),
+        sort_idx.ctypes.data_as(ctypes.c_void_p),
+        pts.shape[0],
+        starts.ctypes.data_as(ctypes.c_void_p),
+        S, n_threads,
+        sums.ctypes.data_as(ctypes.c_void_p),
+        moms.ctypes.data_as(ctypes.c_void_p),
+    )
+    return sums, moms
 
 
 def plane_cgh(bucket, R: np.ndarray, p: np.ndarray, W: int,

@@ -35,6 +35,48 @@ class TestNative:
         k_py = pack_voxel_keys(voxel_coords(pts.astype(np.float64), 0.5))
         np.testing.assert_array_equal(k_nat, k_py)
 
+    def test_voxel_keys64_match_python(self):
+        from global_lvba_tpu.map.voxelize import pack_voxel_keys, voxel_coords
+
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-300, 300, size=(50000, 3))
+        k_nat = nat.voxel_keys64(pts, 0.7)
+        k_py = pack_voxel_keys(voxel_coords(pts, 0.7))
+        np.testing.assert_array_equal(k_nat, k_py)
+        # out-of-range coordinates report failure (caller falls back to
+        # the raising numpy path)
+        assert nat.voxel_keys64(np.array([[1e9, 0.0, 0.0]]), 1.0) is None
+
+    def test_transform_points_match_einsum(self):
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.default_rng(6)
+        pts = rng.normal(size=(30000, 3))
+        fid = rng.integers(0, 40, 30000).astype(np.int32)
+        R = Rotation.random(40, random_state=1).as_matrix()
+        p = rng.normal(size=(40, 3))
+        w_nat = nat.transform_points(pts, fid, R, p)
+        w_np = np.einsum("nij,nj->ni", R[fid], pts) + p[fid]
+        np.testing.assert_allclose(w_nat, w_np, atol=1e-13)
+
+    def test_bin_moments_match_reduceat(self):
+        rng = np.random.default_rng(7)
+        N = 200000
+        pts = rng.normal(size=(N, 3))
+        keys = rng.integers(0, 5000, N)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        s_nat, m_nat = nat.bin_moments(pts, order, starts)
+        p = pts[order]
+        s_np = np.add.reduceat(p, starts, axis=0)
+        xx = np.stack([p[:, 0] * p[:, 0], p[:, 0] * p[:, 1], p[:, 0] * p[:, 2],
+                       p[:, 1] * p[:, 1], p[:, 1] * p[:, 2], p[:, 2] * p[:, 2]],
+                      axis=1)
+        m_np = np.add.reduceat(xx, starts, axis=0)
+        np.testing.assert_allclose(s_nat, s_np, atol=1e-10)
+        np.testing.assert_allclose(m_nat, m_np, atol=1e-10)
+
     def test_radix_argsort(self):
         rng = np.random.default_rng(1)
         keys = rng.integers(-(2**62), 2**62, size=100000)
