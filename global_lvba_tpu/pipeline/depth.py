@@ -50,16 +50,30 @@ def build_grid_map(
     p: np.ndarray,
     voxel: float = GRID_VOX,
 ) -> GridMap:
+    from ..map.voxelize import _argsort_keys
+
+    try:
+        from ..native import runtime as _nat
+    except Exception:
+        _nat = None
+
     world_all = []
     fkeys = []
     for i, c in enumerate(clouds):
         w = (R[i] @ c.T).T + p[i]
         world_all.append(w.astype(np.float32))
-        k = pack_voxel_keys(np.floor(w / voxel).astype(np.int64))
+        k = None
+        if _nat is not None:
+            k = _nat.voxel_keys64(w, voxel)
+        if k is None:
+            k = pack_voxel_keys(np.floor(w / voxel).astype(np.int64))
         fkeys.append(np.unique(k))
     world = np.concatenate(world_all)
-    keys = pack_voxel_keys(np.floor(world.astype(np.float64) / voxel).astype(np.int64))
-    order = np.argsort(keys, kind="stable")
+    w64 = world.astype(np.float64)
+    keys = _nat.voxel_keys64(w64, voxel) if _nat is not None else None
+    if keys is None:
+        keys = pack_voxel_keys(np.floor(w64 / voxel).astype(np.int64))
+    order = _argsort_keys(keys)
     sk = keys[order]
     firsts = np.concatenate([[True], sk[1:] != sk[:-1]])
     starts = np.flatnonzero(firsts)
