@@ -15,14 +15,18 @@ run() {
   echo "=== $name rc=$? ($(date))" | tee -a "$OUT/session.log"
 }
 
-# 1. W=512 variant profile: one-hot vs gather M-build, Gram precision
-run profile_w512 python scripts/profile_w512.py
-
-# 2. full bench artifact (all extras incl. w2048 banded + visual m1000)
+# 1. the round artifact first — bench measures one-hot AND gather paths
+#    itself, so even a short tunnel window captures the decisive numbers
 run bench python bench.py
 
-# 3. ladders
-run ladder2 python scripts/ladder2_sift_e2e.py
+# 2. W=512 variant matrix: gather60/plan/pallas-syrk x Gram precision
+run profile_w512 python scripts/profile_w512.py
+
+# 3. ladders (e2e steady-state with the native host stages)
 run ladder3 python scripts/ladder3_e2e.py
+run ladder2 python scripts/ladder2_sift_e2e.py
+
+# 4. SIFT per-stage breakdown (informs the <20 ms/img work)
+run profile_sift python scripts/profile_sift.py
 
 grep -h "" "$OUT"/*.out | tail -40
