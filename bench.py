@@ -407,11 +407,13 @@ def bench_w512():
     ), mfu
 
 
-def bench_w2048():
-    """Large-W scaling point: corridor W=2048 global anchor BA through the
+def bench_wlarge(W: int = 2048, points_per_frame: int = 1000):
+    """Large-W scaling point: corridor global anchor BA through the
     block-banded Gram path (auto-selected; plane_eigen.build_banded_groups).
     The dense Gram at this W costs ~(W/2B)² more flops — this line is the
-    measured demonstration of the designed scaling axis."""
+    measured demonstration of the designed scaling axis.  W = 4096 is the
+    single-chip ceiling probe: the assembled (6W)² f32 Hessian is 2.4 GB
+    (HBM 16 GB), reduced solve auto-selects block-Jacobi CG."""
     import jax
     import jax.numpy as jnp
 
@@ -422,9 +424,9 @@ def bench_w2048():
     from global_lvba_tpu.factors.padding import buckets_to_device
     from global_lvba_tpu.solver.lm import lm_damping_iter
 
-    W = 2048
     ITERS = 3
-    scene = make_corridor_scene(num_frames=W, points_per_frame=1000, seed=0)
+    scene = make_corridor_scene(num_frames=W, points_per_frame=points_per_frame,
+                                seed=0)
     vm = build_voxel_map(
         scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
         voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
@@ -607,13 +609,14 @@ def main():
         except Exception as e:
             extras["visual_error"] = str(e)[:120]
 
-        try:
-            ms, ate0, ate1, n_pts = bench_w2048()
-            extras["w2048_ms_per_iter"] = round(ms, 2)
-            extras["w2048_ate_m"] = [round(ate0, 5), round(ate1, 5)]
-            extras["w2048_points"] = n_pts
-        except Exception as e:
-            extras["w2048_error"] = str(e)[:120]
+        for Wl in (2048, 4096):
+            try:
+                ms, ate0, ate1, n_pts = bench_wlarge(Wl)
+                extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
+                extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
+                extras[f"w{Wl}_points"] = n_pts
+            except Exception as e:
+                extras[f"w{Wl}_error"] = str(e)[:120]
 
         try:
             ms, n_obs, c0, c1 = bench_visual_m1000()
