@@ -633,6 +633,26 @@ def main():
         "vs_baseline": vs_base,
     }
     result.update(extras)
+
+    # in-round TPU-measurement cache: a successful device run persists its
+    # numbers next to this script; a later run that hits a tunnel outage
+    # (observed to last hours) embeds them as `last_good_tpu` so the round
+    # artifact never loses device measurements already captured in-round
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_tpu_cache.json"
+    )
+    if backend_error is None:
+        try:
+            with open(cache, "w") as f:
+                json.dump({"captured_unix": round(time.time(), 1), **result}, f)
+        except OSError:
+            pass
+    else:
+        try:
+            with open(cache) as f:
+                result["last_good_tpu"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(result))
 
 
