@@ -215,6 +215,7 @@ def build_voxel_map(
     layer_limit: int = 2,
     min_frames: int = 2,
     bucket_sizes: Sequence[int] = (4, 8, 16, 32, 64, 128, 256, 512),
+    build_factors: bool = True,
 ) -> VoxelMap:
     """Build the adaptive planar voxel map.
 
@@ -355,6 +356,21 @@ def build_voxel_map(
         normals=normals,
         eigvals=eigvals,
     )
+
+    if not build_factors:
+        # lookup-only consumers (the visual-stage plane-prior rebuild,
+        # lvba_system.cpp:1461-1507) never read the factor buckets: skip
+        # the per-(voxel, frame) moment pass + bucket packing — about half
+        # the build at anchor scale (~2M points)
+        stats["planes_total"] = int(n_emitted)
+        stats["planes_kept"] = int(n_emitted)
+        return VoxelMap(
+            buckets=[],
+            lookup=lookup,
+            num_planes=n_emitted,
+            num_frames=W,
+            stats=stats,
+        )
 
     # ---- per-(plane voxel, frame) body-frame stats ----
     sel = point_plane >= 0

@@ -612,45 +612,93 @@ void lvba_set_lapack(const char* path) {
 // lvba_system.cpp:885-901).  Mirrors pipeline/depth._zbuffer_host: f32
 // arithmetic in the same operation order, Z >= 1e-3 gate, min per integer
 // pixel, inf -> 0.  depth_out must hold H*W floats.
+namespace {
+struct ZbufCam {
+  float R00, R01, R02, R10, R11, R12, R20, R21, R22, t0, t1, t2;
+  float fx, fy, cx, cy, k1, k2, p1, p2;
+  int W, H;
+};
+
+inline ZbufCam zbuf_cam(const double* Rcw, const double* tcw, double fx,
+                        double fy, double cx, double cy, double k1, double k2,
+                        double p1d, double p2d, int W, int H) {
+  return ZbufCam{(float)Rcw[0], (float)Rcw[1], (float)Rcw[2],
+                 (float)Rcw[3], (float)Rcw[4], (float)Rcw[5],
+                 (float)Rcw[6], (float)Rcw[7], (float)Rcw[8],
+                 (float)tcw[0], (float)tcw[1], (float)tcw[2],
+                 (float)fx,     (float)fy,     (float)cx,
+                 (float)cy,     (float)k1,     (float)k2,
+                 (float)p1d,    (float)p2d,    W,           H};
+}
+
+inline void zbuf_accum(const float* pts, long i0, long i1, const ZbufCam& c,
+                       float* depth_out) {
+  for (long i = i0; i < i1; ++i) {
+    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+    const float Z = c.R20 * px + c.R21 * py + c.R22 * pz + c.t2;
+    if (!(Z >= 1e-3f)) continue;
+    const float X = c.R00 * px + c.R01 * py + c.R02 * pz + c.t0;
+    const float Y = c.R10 * px + c.R11 * py + c.R12 * pz + c.t1;
+    const float x = X / Z, y = Y / Z;
+    const float r2 = x * x + y * y;
+    const float radial = 1.0f + c.k1 * r2 + c.k2 * r2 * r2;
+    const float xd =
+        x * radial + 2.0f * c.p1 * x * y + c.p2 * (r2 + 2.0f * x * x);
+    const float yd =
+        y * radial + c.p1 * (r2 + 2.0f * y * y) + 2.0f * c.p2 * x * y;
+    const float uf = c.fx * xd + c.cx;
+    const float vf = c.fy * yd + c.cy;
+    if (!std::isfinite(uf) || !std::isfinite(vf)) continue;
+    // trunc-toward-zero cast, same as numpy astype(int32): uf in (-1, 0)
+    // truncates to pixel 0 and stays in-bounds
+    if (uf <= -1.0f || uf >= (float)c.W || vf <= -1.0f || vf >= (float)c.H)
+      continue;
+    const int u = (int)uf, v = (int)vf;
+    if (u < 0 || u >= c.W || v < 0 || v >= c.H) continue;
+    float& d = depth_out[(long)v * c.W + u];
+    if (Z < d) d = Z;
+  }
+}
+
+inline void zbuf_finish(float* depth_out, long hw) {
+  for (long i = 0; i < hw; ++i)
+    if (!std::isfinite(depth_out[i])) depth_out[i] = 0.0f;
+}
+}  // namespace
+
 void lvba_zbuffer(const float* pts, long n, const double* Rcw,
                   const double* tcw, double fx, double fy, double cx,
                   double cy, double k1, double k2, double p1d, double p2d,
                   int W, int H, float* depth_out) {
   const long hw = (long)H * W;
   for (long i = 0; i < hw; ++i) depth_out[i] = INFINITY;
-  const float R00 = (float)Rcw[0], R01 = (float)Rcw[1], R02 = (float)Rcw[2];
-  const float R10 = (float)Rcw[3], R11 = (float)Rcw[4], R12 = (float)Rcw[5];
-  const float R20 = (float)Rcw[6], R21 = (float)Rcw[7], R22 = (float)Rcw[8];
-  const float t0 = (float)tcw[0], t1 = (float)tcw[1], t2 = (float)tcw[2];
-  const float fxf = (float)fx, fyf = (float)fy, cxf = (float)cx,
-              cyf = (float)cy;
-  const float k1f = (float)k1, k2f = (float)k2, p1f = (float)p1d,
-              p2f = (float)p2d;
-  for (long i = 0; i < n; ++i) {
-    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
-    const float Z = R20 * px + R21 * py + R22 * pz + t2;
-    if (!(Z >= 1e-3f)) continue;
-    const float X = R00 * px + R01 * py + R02 * pz + t0;
-    const float Y = R10 * px + R11 * py + R12 * pz + t1;
-    const float x = X / Z, y = Y / Z;
-    const float r2 = x * x + y * y;
-    const float radial = 1.0f + k1f * r2 + k2f * r2 * r2;
-    const float xd = x * radial + 2.0f * p1f * x * y + p2f * (r2 + 2.0f * x * x);
-    const float yd = y * radial + p1f * (r2 + 2.0f * y * y) + 2.0f * p2f * x * y;
-    const float uf = fxf * xd + cxf;
-    const float vf = fyf * yd + cyf;
-    if (!std::isfinite(uf) || !std::isfinite(vf)) continue;
-    // trunc-toward-zero cast, same as numpy astype(int32): uf in (-1, 0)
-    // truncates to pixel 0 and stays in-bounds
-    if (uf <= -1.0f || uf >= (float)W || vf <= -1.0f || vf >= (float)H)
-      continue;
-    const int u = (int)uf, v = (int)vf;
-    if (u < 0 || u >= W || v < 0 || v >= H) continue;
-    float& d = depth_out[(long)v * W + u];
-    if (Z < d) d = Z;
-  }
-  for (long i = 0; i < hw; ++i)
-    if (!std::isfinite(depth_out[i])) depth_out[i] = 0.0f;
+  const ZbufCam c =
+      zbuf_cam(Rcw, tcw, fx, fy, cx, cy, k1, k2, p1d, p2d, W, H);
+  zbuf_accum(pts, 0, n, c, depth_out);
+  zbuf_finish(depth_out, hw);
+}
+
+// Same rasterization reading points straight out of the grid map's CSR
+// (starts/counts into the voxel-grouped point array): the per-image
+// covisible-point GATHER (numpy ragged-range expansion) measured ~60 ms at
+// 2M covisible points while the rasterization itself is ~11 ms — reading
+// the ranges in place removes the copy entirely (generateDepthWithVoxel,
+// /root/reference/src/lvba_system.cpp:885-901, gathers per image too; the
+// CSR-direct form is behavior-identical).
+void lvba_zbuffer_ranges(const float* pts, const long long* starts,
+                         const long long* counts, long n_ranges,
+                         const double* Rcw, const double* tcw, double fx,
+                         double fy, double cx, double cy, double k1,
+                         double k2, double p1d, double p2d, int W, int H,
+                         float* depth_out) {
+  const long hw = (long)H * W;
+  for (long i = 0; i < hw; ++i) depth_out[i] = INFINITY;
+  const ZbufCam c =
+      zbuf_cam(Rcw, tcw, fx, fy, cx, cy, k1, k2, p1d, p2d, W, H);
+  for (long r = 0; r < n_ranges; ++r)
+    zbuf_accum(pts, (long)starts[r], (long)(starts[r] + counts[r]), c,
+               depth_out);
+  zbuf_finish(depth_out, hw);
 }
 
 // Multithreaded plane-factor (residual, gradient, Hessian) evaluation.

@@ -98,6 +98,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+    if hasattr(lib, "lvba_zbuffer_ranges"):
+        lib.lvba_zbuffer_ranges.restype = None
+        lib.lvba_zbuffer_ranges.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
     if hasattr(lib, "lvba_transform_points"):
         lib.lvba_transform_points.restype = None
         lib.lvba_transform_points.argtypes = [
@@ -338,6 +347,35 @@ def zbuffer(pts: np.ndarray, Rcw: np.ndarray, tcw: np.ndarray, cam,
         out = np.empty((cam.height, cam.width), np.float32)
     lib.lvba_zbuffer(
         pts.ctypes.data_as(ctypes.c_void_p), pts.shape[0],
+        R64.ctypes.data_as(ctypes.c_void_p), t64.ctypes.data_as(ctypes.c_void_p),
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        float(cam.k1), float(cam.k2), float(cam.p1), float(cam.p2),
+        cam.width, cam.height,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def zbuffer_ranges(pts: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+                   Rcw: np.ndarray, tcw: np.ndarray, cam,
+                   out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+    """Native rasterization straight from CSR ranges of a voxel-grouped
+    point array (no per-image gathered copy); result is identical to
+    zbuffer(pts[expand(starts, counts)], ...).  None without the lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lvba_zbuffer_ranges"):
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    s64 = np.ascontiguousarray(starts, np.int64)
+    c64 = np.ascontiguousarray(counts, np.int64)
+    R64 = np.ascontiguousarray(Rcw, np.float64)
+    t64 = np.ascontiguousarray(tcw, np.float64)
+    if out is None:
+        out = np.empty((cam.height, cam.width), np.float32)
+    lib.lvba_zbuffer_ranges(
+        pts.ctypes.data_as(ctypes.c_void_p),
+        s64.ctypes.data_as(ctypes.c_void_p),
+        c64.ctypes.data_as(ctypes.c_void_p), s64.shape[0],
         R64.ctypes.data_as(ctypes.c_void_p), t64.ctypes.data_as(ctypes.c_void_p),
         float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
         float(cam.k1), float(cam.k2), float(cam.p1), float(cam.p2),

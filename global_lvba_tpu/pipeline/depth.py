@@ -98,6 +98,20 @@ def covisible_voxels(
     return np.unique(np.concatenate(gm.frame_voxel_keys[lo:hi]))
 
 
+def gather_voxel_ranges(
+    gm: GridMap, voxel_keys: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR (starts, counts) of the grid-map rows matching the given keys —
+    the zero-copy form of gather_voxel_points for consumers that can read
+    the voxel-grouped point array in place (native zbuffer_ranges)."""
+    pos = np.searchsorted(gm.keys, voxel_keys)
+    ok = pos < gm.keys.shape[0]
+    pos = pos[ok]
+    hit = gm.keys[pos] == voxel_keys[ok]
+    pos = pos[hit]
+    return gm.starts[pos], gm.counts[pos]
+
+
 def gather_voxel_points(gm: GridMap, voxel_keys: np.ndarray) -> np.ndarray:
     """All world points belonging to the given voxel keys."""
     pos = np.searchsorted(gm.keys, voxel_keys)
@@ -179,12 +193,27 @@ def render_depth_maps(
 
     from ..native import runtime as nat
 
-    use_native = nat.get_lib() is not None and hasattr(
-        nat.get_lib(), "lvba_zbuffer"
+    lib = nat.get_lib()
+    use_ranges = lib is not None and hasattr(lib, "lvba_zbuffer_ranges")
+    use_native = lib is not None and hasattr(lib, "lvba_zbuffer")
+    # voxel-grouped points contiguous once, shared by every image
+    pts_f32 = (
+        np.ascontiguousarray(gm.points, np.float32) if use_ranges else None
     )
 
     def one(i):
         vox = covisible_voxels(gm, lidar_times, float(image_times[i]), half_w)
+        if use_ranges:
+            # rasterize straight from the grid map's CSR rows: the ragged
+            # per-image point GATHER (~60 ms at 2M covisible points) was
+            # 5x the rasterization itself
+            starts, counts = gather_voxel_ranges(gm, vox)
+            if counts.size and counts.sum():
+                nat.zbuffer_ranges(
+                    pts_f32, starts, counts, Rcw_all[i], tcw_all[i], cam,
+                    out=out[i],
+                )
+            return
         pts = gather_voxel_points(gm, vox)
         if pts.shape[0]:
             if use_native:

@@ -102,6 +102,7 @@ def build_anchor_plane_lookup(
         min_ps=cfg.solver.min_ps,
         layer_limit=cfg.solver.layer_limit,
         min_frames=1,  # priors only need the plane geometry, not >= 2 observers
+        build_factors=False,  # lookup-only: skip the factor-bucket pass
     )
     return vm.lookup
 

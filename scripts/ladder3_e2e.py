@@ -115,6 +115,11 @@ def main():
                 for k, v in sysm.metrics.values.items()
                 if k.startswith("time/")
             },
+            f"{tag}_visual_sub_s": {
+                k: round(float(res.stats[k]), 2)
+                for k in ("depth_s", "fuse_s", "planes_s", "solve_s")
+                if k in res.stats
+            },
         }
 
     out = {"metric": "ladder3_e2e", "frames": num_frames,

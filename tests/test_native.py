@@ -143,6 +143,33 @@ class TestNative:
         frac = np.mean(np.abs(d_py - d_nat) > 1e-6)
         assert frac < 1e-3, f"{frac:.2e} of pixels differ"
 
+    def test_zbuffer_ranges_matches_gathered(self):
+        # CSR-direct rasterization must equal gather-then-rasterize EXACTLY
+        # (same code path over the same floats, only the iteration differs)
+        from scipy.spatial.transform import Rotation
+
+        from global_lvba_tpu.geometry.camera import CameraModel
+
+        cam = CameraModel(fx=400.0, fy=410.0, cx=320.0, cy=240.0,
+                          k1=-0.05, k2=0.08, p1=-0.001, p2=0.0005,
+                          width=640, height=480)
+        rng = np.random.default_rng(11)
+        N = 200_000
+        pts = rng.uniform(-8, 8, size=(N, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-2, 20, size=N)
+        # ragged ranges covering a scattered subset, incl. empty ranges
+        starts = np.sort(rng.integers(0, N - 512, size=64)).astype(np.int64)
+        counts = rng.integers(0, 512, size=64).astype(np.int64)
+        idx = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, counts)]
+        )
+        Rcw = Rotation.from_rotvec([0.05, -0.1, 0.02]).as_matrix()
+        tcw = np.array([0.1, -0.2, 0.5])
+        d_r = nat.zbuffer_ranges(pts, starts, counts, Rcw, tcw, cam)
+        d_g = nat.zbuffer(np.ascontiguousarray(pts[idx]), Rcw, tcw, cam)
+        assert d_r is not None and d_g is not None
+        np.testing.assert_array_equal(d_r, d_g)
+
     def test_lm_solve_matches_oracle(self):
         # the full native damped-LM loop (bench's at-scale CPU baseline)
         # must track the reference-faithful oracle exactly
