@@ -209,6 +209,30 @@ def perturb_poses(
     return R_out, p_out
 
 
+def perturb_poses_drift(
+    R: np.ndarray, p: np.ndarray, rot_rate: float, trans_rate: float,
+    seed: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Odometry-style ACCUMULATED drift: each step's relative pose gets a
+    small random error that integrates along the trajectory (frame-i error
+    grows ~ sqrt(i)) — the error model of real LIVO odometry input
+    (the reference consumes FAST-LIVO2 trajectories, README.md:1-8), where
+    global BA must remove low-frequency drift via loop closure rather than
+    i.i.d. jitter (perturb_poses)."""
+    rng = np.random.default_rng(seed)
+    W = R.shape[0]
+    R_out = np.array(R, copy=True)
+    p_out = np.array(p, copy=True)
+    for i in range(1, W):
+        R_rel = R[i - 1].T @ R[i]
+        p_rel = R[i - 1].T @ (p[i] - p[i - 1])
+        R_rel = R_rel @ _small_rotation(rng, rot_rate)
+        p_rel = p_rel + rng.normal(scale=trans_rate, size=3)
+        R_out[i] = R_out[i - 1] @ R_rel
+        p_out[i] = p_out[i - 1] + R_out[i - 1] @ p_rel
+    return R_out, p_out
+
+
 def ate_rmse(p_est: np.ndarray, p_ref: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error RMSE after optional SE(3) (Umeyama) alignment."""
     a = np.asarray(p_est, dtype=np.float64)

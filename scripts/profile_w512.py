@@ -126,6 +126,25 @@ def main():
         out[f"lm_resid_{name}"] = resid
         print(json.dumps(out), flush=True)
 
+    # block-banded Gram at W=512 (auto engages only at >= 4x flop savings;
+    # measure it unconditionally so the crossover policy rests on numbers)
+    try:
+        _clear_lm_cache()
+        res_b = lm_damping_iter(buckets, R, p, max_iters=4, hessian="banded")
+        np.asarray(res_b.R)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_b = lm_damping_iter(buckets, R, p, max_iters=4,
+                                    hessian="banded")
+            np.asarray(res_b.R)
+            ts.append(time.perf_counter() - t0)
+        out["lm_ms_per_iter_banded"] = round(min(ts) / 4 * 1e3, 2)
+        out["lm_resid_banded"] = float(res_b.residual)
+    except Exception as e:
+        out["banded_error"] = str(e)[:120]
+    print(json.dumps(out), flush=True)
+
     # Gram-precision x kernel sweep on the plan path (after the one-hot
     # removal the Gram dominates; HIGH = 3 bf16 passes instead of 6).  The
     # final ATE is the accuracy gate — HIGHEST's value is the reference.
