@@ -73,6 +73,29 @@ class BALMStageConfig:
 
 
 @dataclasses.dataclass
+class GlobalRefineConfig:
+    """TPU-engine extension (no reference analogue): an optional DIRECT
+    all-frame global BA pass after anchor composition.  The window->anchor
+    hierarchy freezes intra-window pose error when it composes
+    anchor∘relative (lvba_system.cpp:393-404), which caps how much
+    accumulated odometry drift it can remove (measured ~2x on a 48-frame
+    loop, tests/test_drift.py); re-solving over ALL frames from the
+    composed trajectory recovers ~30x, at a cost the engine affords
+    on-chip (dense Gram to W~512, block-banded beyond)."""
+
+    enable: bool = False
+    root_voxel_size: float = 0.0       # 0 -> BALM_stage2.root_voxel_size
+    # 2 rounds: re-voxelizing with the once-refined poses re-judges the
+    # planes and escapes the first solve's basin (measured 0.0013 -> 0.0005
+    # on the 48-frame drift loop) — the same reason the reference runs two
+    # global stages (lvba_system.cpp:357-389)
+    rounds: int = 2
+    eigen_ratio_array: List[float] = dataclasses.field(
+        default_factory=lambda: [0.1, 0.1, 0.1, 0.1]
+    )
+
+
+@dataclasses.dataclass
 class TrackFusionConfig:
     min_view_angle: float = 8.0        # degrees
     reproj_mean_thr: float = 3.0       # px
@@ -111,6 +134,9 @@ class LvbaConfig:
     BALM_stage1: BALMStageConfig = dataclasses.field(default_factory=BALMStageConfig)
     BALM_stage2: BALMStageConfig = dataclasses.field(
         default_factory=lambda: BALMStageConfig(root_voxel_size=0.5)
+    )
+    global_refine: GlobalRefineConfig = dataclasses.field(
+        default_factory=GlobalRefineConfig
     )
     track_fusion: TrackFusionConfig = dataclasses.field(default_factory=TrackFusionConfig)
     colmap_output: ColmapOutputConfig = dataclasses.field(default_factory=ColmapOutputConfig)

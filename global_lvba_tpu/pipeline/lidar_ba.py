@@ -271,6 +271,35 @@ def run_lidar_ba(
         R_opt[i] = aR[aidx] @ rel_R[i]
         p_opt[i] = aR[aidx] @ rel_p[i] + ap[aidx]
 
+    # optional DIRECT all-frame refinement (engine extension, no reference
+    # analogue): the composition above freezes intra-window pose error, so
+    # accumulated odometry drift survives it (~2x recovery measured on a
+    # 48-frame loop); one more global solve over ALL frames, initialized
+    # from the composed trajectory, recovers ~30x (tests/test_drift.py)
+    rcfg = cfg.global_refine
+    if rcfg.enable and F >= 2:
+        pts_all = np.concatenate([np.asarray(c) for c in clouds])
+        fids_all = np.concatenate(
+            [np.full(len(c), i, dtype=np.int32) for i, c in enumerate(clouds)]
+        )
+        vs = rcfg.root_voxel_size or cfg.BALM_stage2.root_voxel_size
+        for rnd in range(max(1, rcfg.rounds)):
+            t0 = time.time()
+            R_sol, p_sol, n_planes = _solve_ba(
+                pts_all, fids_all, R_opt, p_opt, vs,
+                rcfg.eigen_ratio_array, cfg,
+            )
+            if R_sol is not None:
+                R_opt, p_opt = R_sol, p_sol
+            gstats.append(
+                dict(stage=f"refine{rnd + 1}", planes=n_planes,
+                     time_s=time.time() - t0)
+            )
+            log.info(
+                "[GlobalRefine] round %d all-frame W=%d: %d planes, %.1fs",
+                rnd + 1, F, n_planes, time.time() - t0,
+            )
+
     return LidarBAResult(
         R_opt=R_opt,
         p_opt=p_opt,

@@ -71,3 +71,18 @@ def test_direct_global_ba_recovers_loop_drift(loop_scene):
     # direct global BA closes the loop (measured ~30x; generous margins)
     assert ate_direct < 0.1 * ate_in
     assert ate_direct < 0.25 * ate_hier
+
+    # the global_refine stage (engine extension): hierarchy for robustness
+    # + one direct all-frame solve from the composed trajectory must reach
+    # direct-solve quality
+    cfg_r = LvbaConfig()
+    cfg_r.window_ba.size = 12
+    cfg_r.global_refine.enable = True
+    res_r = run_lidar_ba(clouds, Rn, pn, cfg_r)
+    ate_ref = ate_rmse(res_r.p_opt, scene.p_true)
+    assert ate_ref < 0.1 * ate_in
+    assert ate_ref < 2.0 * ate_direct
+    assert any(
+        str(g.get("stage")).startswith("refine")
+        for g in res_r.stats["global"]
+    )
