@@ -507,14 +507,15 @@ def build_banded_groups(
     )
 
 
-def banded_cgh(bg: BandedGroups, R, p, W: int):
-    """(resid, g (W,6), Hd (W,6,6), H (6W,6W) CROSS part): one lax.scan
-    over the stacked windows — each step evaluates its voxels at local
-    width 2B, Grams (12B)², and read-modify-writes the H window at its
-    (traced) frame offset via dynamic slices."""
+def banded_scan(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
+    """Scan a STACK of equal-shape banded groups -> partial
+    (resid, g (W,6), Hd (W,6,6), H (6W,6W) CROSS part): each step
+    evaluates its voxels at local width 2B, Grams (12B)², and
+    read-modify-writes the H window at its (traced) frame offset via
+    dynamic slices.  Factored out of banded_cgh so a mesh can shard the
+    group stack (parallel.shard.banded_cgh_sharded) — the partials sum."""
     dt = R.dtype
-    G, Vp, K = bg.fa.n.shape
-    width = bg.inv.shape[-1]
+    width = inv_s.shape[-1]
 
     def body(carry, inp):
         resid_a, g_a, Hd_a, H_a = carry
@@ -535,27 +536,42 @@ def banded_cgh(bg: BandedGroups, R, p, W: int):
         Hd_a = jax.lax.dynamic_update_slice(Hd_a, hw + Hd_l, (off, z, z))
         return (resid_a + r_, g_a, Hd_a, H_a), None
 
-    zvar = (bg.fa.n.ravel()[0] * 0).astype(dt)
+    zvar = (fa_s.n.ravel()[0] * 0).astype(dt)
     init = (
         zvar,
         jnp.zeros((W, 6), dt) + zvar,
         jnp.zeros((W, 6, 6), dt) + zvar,
         jnp.zeros((6 * W, 6 * W), dt) + zvar,
     )
-    (resid, g, Hd, H), _ = jax.lax.scan(body, init, (bg.fa, bg.inv, bg.offset))
+    (resid, g, Hd, H), _ = jax.lax.scan(body, init, (fa_s, inv_s, offset_s))
+    return resid, g, Hd, H
+
+
+def banded_straggler_cgh(bg: BandedGroups, R, p, W: int):
+    """Full-width gather evaluation of the straggler group (voxels whose
+    observer span exceeds two blocks); zero-shaped when there are none."""
+    dt = R.dtype
+    r_, g_l, Hd_l, M = _chunk_eval_soa(bg.wide_fa, R, p, W, bg.wide_inv)
+    gram = jax.lax.dot_general(
+        M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+        preferred_element_type=dt,
+        precision=_gram_precision(),
+    ).reshape(6 * W, 6 * W)
+    return r_, g_l, Hd_l, -gram
+
+
+def banded_cgh(bg: BandedGroups, R, p, W: int):
+    """(resid, g (W,6), Hd (W,6,6), H (6W,6W) CROSS part) of one bucket's
+    banded groups + stragglers (see banded_scan)."""
+    resid, g, Hd, H = banded_scan(bg.fa, bg.inv, bg.offset, R, p, W)
 
     # stragglers: one full-width gather evaluation
     if int(bg.wide_fa.n.shape[0]) > 0:
-        r_, g_l, Hd_l, M = _chunk_eval_soa(bg.wide_fa, R, p, W, bg.wide_inv)
-        gram = jax.lax.dot_general(
-            M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
-            preferred_element_type=dt,
-            precision=_gram_precision(),
-        ).reshape(6 * W, 6 * W)
+        r_, g_l, Hd_l, Hc = banded_straggler_cgh(bg, R, p, W)
         resid = resid + r_
         g = g + g_l
         Hd = Hd + Hd_l
-        H = H - gram
+        H = H + Hc
     return resid, g, Hd, H
 
 

@@ -133,3 +133,91 @@ def lm_damping_iter_sharded(
         )
 
     return run(tuple(sharded), R0, p0)
+
+
+def lm_damping_iter_banded_sharded(
+    buckets: Sequence[PlaneFactorArrays],
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "factors",
+    max_iters: int = 10,
+    reduced_solver: str = "lu",
+    block: int = None,
+) -> LMResult:
+    """Full banded-Hessian LM with every bucket's group stack sharded over
+    the mesh (banded_cgh_sharded inside the Nielsen loop) — the complete
+    distributed large-W path: banded ~(2B/W)² Gram-flop savings AND
+    multi-chip FLOP scaling."""
+    from ..factors.plane_eigen import build_banded_groups
+    from ..solver.lm import _lm_banded_jitted
+
+    W = R0.shape[0]
+    rep = NamedSharding(mesh, P())
+    R0 = jax.device_put(jnp.asarray(R0), rep)
+    p0 = jax.device_put(jnp.asarray(p0), rep)
+    groups = tuple(build_banded_groups(fa, W, block=block) for fa in buckets)
+    g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+    return _lm_banded_jitted(
+        groups, R0, p0, int(max_iters), 0.01, 2.0, 1e-6,
+        str(reduced_solver), int(g_size), mesh, axis,
+    )
+
+
+def banded_cgh_sharded(
+    bg, R: jnp.ndarray, p: jnp.ndarray, W: int, mesh: Mesh,
+    axis: str = "factors",
+):
+    """Distributed block-banded evaluation (the large-W scaling path on a
+    mesh): the packed group stack (plane_eigen.build_banded_groups) shards
+    over `axis` — groups are mutually independent, so each device scans
+    its G/n groups at local width 2B and the (resid, g, Hd, H-cross)
+    partials psum.  Keeps the banded ~(2B/W)² Gram-flop savings while
+    FLOP-scaling across chips (the reference's 16-thread divide_thread,
+    bavoxel.hpp:597-639, generalized to the banded assembly).  Stragglers
+    (<1% of voxels by construction) evaluate replicated.
+
+    Zero-padded groups are inert: their fa.n rows are all zero, so every
+    masked per-entry output vanishes and their offset-0 window updates add
+    zeros."""
+    from functools import partial as _partial
+
+    from ..factors.plane_eigen import banded_scan, banded_straggler_cgh
+
+    n = mesh.shape[axis]
+    G = bg.fa.n.shape[0]
+    Gp = ((G + n - 1) // n) * n
+
+    def padg(x):
+        return jnp.pad(x, [(0, Gp - G)] + [(0, 0)] * (x.ndim - 1))
+
+    fa = PlaneFactorArrays(
+        padg(bg.fa.n), padg(bg.fa.mu), padg(bg.fa.Pc), padg(bg.fa.frame)
+    )
+    inv = padg(bg.inv)
+    off = padg(bg.offset)
+    pspec = P(axis)
+    rspec = P()
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, pspec, pspec, rspec, rspec),
+        out_specs=(rspec, rspec, rspec, rspec),
+    )
+    def eval_shard(n_, mu_, Pc_, frame_, inv_, off_, R_, p_):
+        local = PlaneFactorArrays(n_, mu_, Pc_, frame_)
+        r, g, Hd, H = banded_scan(local, inv_, off_, R_, p_, W)
+        return (
+            jax.lax.psum(r, axis), jax.lax.psum(g, axis),
+            jax.lax.psum(Hd, axis), jax.lax.psum(H, axis),
+        )
+
+    r, g, Hd, H = eval_shard(fa.n, fa.mu, fa.Pc, fa.frame, inv, off, R, p)
+    if int(bg.wide_fa.n.shape[0]) > 0:
+        r_, g_l, Hd_l, Hc = banded_straggler_cgh(bg, R, p, W)
+        r = r + r_
+        g = g + g_l
+        Hd = Hd + Hd_l
+        H = H + Hc
+    return r, g, Hd, H

@@ -317,17 +317,28 @@ def _lm_jitted(
     return LMResult(R=R, p=p, iters=it, residual=res1)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
-                      rel_tol, reduced_solver, g_size):
+                      rel_tol, reduced_solver, g_size, mesh=None,
+                      mesh_axis="factors"):
     """Banded-Hessian LM: identical Nielsen loop to _lm_jitted, but the
     normal equations assemble through block-banded Grams
     (plane_eigen.banded_cgh) — the large-W scaling path.  `g_size` comes
     from the ORIGINAL buckets so the AVG_THR residual normalization is
-    identical to the dense path."""
+    identical to the dense path.  With `mesh`, each bucket's group stack
+    shards over `mesh_axis` and the partials psum
+    (parallel.shard.banded_cgh_sharded) — the distributed large-W path."""
     W = R0.shape[0]
     g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
     solver = reduced_solver
+    if mesh is not None:
+        # lazy import: parallel.shard imports this module at load time
+        from ..parallel.shard import banded_cgh_sharded
+
+    def one_bucket(bg, R, p):
+        if mesh is None:
+            return banded_cgh(bg, R, p, W)
+        return banded_cgh_sharded(bg, R, p, W, mesh, mesh_axis)
 
     def cgh(R, p):
         resid = jnp.zeros((), R0.dtype)
@@ -335,7 +346,7 @@ def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
         Hd = jnp.zeros((W, 6, 6), R0.dtype)
         H = jnp.zeros((6 * W, 6 * W), R0.dtype)
         for bg in groups_all:
-            r_, g_, Hd_, H_ = banded_cgh(bg, R, p, W)
+            r_, g_, Hd_, H_ = one_bucket(bg, R, p)
             resid, g, Hd, H = resid + r_, g + g_, Hd + Hd_, H + H_
         Hq = H.reshape(W, 6, W, 6)
         Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)

@@ -43,8 +43,18 @@ def main():
         seed=13, px_noise=0.3,
     )
     sc = js.lidar
-    R_odom, p_odom = perturb_poses(sc.R_true, sc.p_true, 0.003, 0.008,
-                                   seed=21)
+    if os.environ.get("LADDER3_DRIFT", "0") == "1":
+        # odometry-style accumulated drift (the realistic LIVO error
+        # model); pair with LADDER3_REFINE=1 to engage the direct
+        # all-frame global_refine stage
+        from global_lvba_tpu.models.synthetic import perturb_poses_drift
+
+        R_odom, p_odom = perturb_poses_drift(
+            sc.R_true, sc.p_true, 0.0008, 0.002, seed=21
+        )
+    else:
+        R_odom, p_odom = perturb_poses(sc.R_true, sc.p_true, 0.003, 0.008,
+                                       seed=21)
 
     root = Path(tempfile.mkdtemp(prefix="ladder3_"))
     img_dir = root / "all_image"
@@ -94,6 +104,8 @@ def main():
     cfg.BALM_stage1.eigen_ratio_array = [0.2] * 4
     cfg.BALM_stage2.root_voxel_size = 0.5
     cfg.BALM_stage2.eigen_ratio_array = [0.08] * 4
+    if os.environ.get("LADDER3_REFINE", "0") == "1":
+        cfg.global_refine.enable = True
 
     def run_once(tag):
         t0 = time.time()

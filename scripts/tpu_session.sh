@@ -24,6 +24,8 @@ run profile_w512 python scripts/profile_w512.py
 
 # 3. ladders (e2e steady-state with the native host stages)
 run ladder3 python scripts/ladder3_e2e.py
+run ladder3_drift env LADDER3_DRIFT=1 LADDER3_REFINE=1 LADDER3_STEADY=0 \
+    python scripts/ladder3_e2e.py
 run ladder2 python scripts/ladder2_sift_e2e.py
 
 # 4. SIFT per-stage breakdown (informs the <20 ms/img work)

@@ -105,3 +105,72 @@ class Test2DMesh:
         res1 = lm_damping_iter(buckets, R0, p0, max_iters=6)
         err = ate_rmse(np.asarray(res2.p), np.asarray(res1.p))
         assert err < 1e-6
+
+
+class TestBandedSharded:
+    def test_banded_groups_shard_over_mesh(self):
+        # the packed banded group stack shards over the factor axis; the
+        # psum'd partials must equal the local banded evaluation exactly
+        # (f64), including the replicated straggler contribution
+        from global_lvba_tpu.factors.plane_eigen import (
+            banded_cgh, build_banded_groups,
+        )
+        from global_lvba_tpu.models.synthetic import make_corridor_scene
+        from global_lvba_tpu.parallel.shard import banded_cgh_sharded
+
+        W = 64
+        scene = make_corridor_scene(num_frames=W, points_per_frame=1000,
+                                    seed=4)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = [bucket_to_device(b, dtype=jnp.float64) for b in vm.buckets]
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02)
+        R = jnp.asarray(Rp)
+        p = jnp.asarray(pp)
+        mesh = make_mesh(8, ("factors",))
+        checked = 0
+        for fa in buckets:
+            for block in (None, 8):   # block=8 forces stragglers
+                bg = build_banded_groups(fa, W, block=block)
+                if bg.fa.n.shape[0] < 2:
+                    continue
+                r0, g0, Hd0, H0 = banded_cgh(bg, R, p, W)
+                r1, g1, Hd1, H1 = banded_cgh_sharded(bg, R, p, W, mesh)
+                np.testing.assert_allclose(float(r0), float(r1), rtol=1e-12)
+                np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                           atol=1e-10)
+                np.testing.assert_allclose(np.asarray(Hd0), np.asarray(Hd1),
+                                           atol=1e-10)
+                np.testing.assert_allclose(np.asarray(H0), np.asarray(H1),
+                                           atol=1e-10)
+                checked += 1
+        assert checked, "fixture produced no multi-group banded buckets"
+
+    def test_banded_lm_sharded_matches_local(self):
+        # full banded LM with mesh-sharded group stacks == local banded LM
+        from global_lvba_tpu.models.synthetic import make_corridor_scene
+        from global_lvba_tpu.parallel.shard import (
+            lm_damping_iter_banded_sharded,
+        )
+
+        W = 64
+        scene = make_corridor_scene(num_frames=W, points_per_frame=1000,
+                                    seed=4)
+        vm = build_voxel_map(
+            scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
+            voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
+        )
+        buckets = [bucket_to_device(b, dtype=jnp.float64) for b in vm.buckets]
+        Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.01, 0.02, seed=2)
+        R0 = jnp.asarray(Rp)
+        p0 = jnp.asarray(pp)
+        mesh = make_mesh(8, ("factors",))
+        res_l = lm_damping_iter(buckets, R0, p0, max_iters=6,
+                                hessian="banded")
+        res_s = lm_damping_iter_banded_sharded(buckets, R0, p0, mesh,
+                                               max_iters=6)
+        dR = np.abs(np.asarray(res_s.R) - np.asarray(res_l.R)).max()
+        dp = np.abs(np.asarray(res_s.p) - np.asarray(res_l.p)).max()
+        assert dR < 1e-8 and dp < 1e-8
