@@ -610,13 +610,21 @@ def main():
             extras["visual_error"] = str(e)[:120]
 
         for Wl in (2048, 4096):
-            try:
-                ms, ate0, ate1, n_pts = bench_wlarge(Wl)
-                extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
-                extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
-                extras[f"w{Wl}_points"] = n_pts
-            except Exception as e:
-                extras[f"w{Wl}_error"] = str(e)[:120]
+            # the tunnel's remote-compile service intermittently 500s /
+            # drops the body on large programs; one retry rescues the line
+            for attempt in (0, 1):
+                try:
+                    ms, ate0, ate1, n_pts = bench_wlarge(Wl)
+                    extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
+                    extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
+                    extras[f"w{Wl}_points"] = n_pts
+                    extras.pop(f"w{Wl}_error", None)
+                    break
+                except Exception as e:
+                    extras[f"w{Wl}_error"] = str(e)[:120]
+                    if "remote_compile" not in str(e):
+                        break
+                    time.sleep(20)
 
         try:
             ms, n_obs, c0, c1 = bench_visual_m1000()

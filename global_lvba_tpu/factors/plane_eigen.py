@@ -677,22 +677,33 @@ def plane_rows_matvec(
 # oracle in tests.
 
 
-def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
-    """SoA evaluation. Returns (resid, jjt6 (V,K,6), D36 (V,K,36),
-    rows18 (V,K,18)) with rows = [B1·A; B2·A; √2/N·[w; n·u]]."""
-    V, K = fa.n.shape
-    dt = fa.n.dtype
-    mask = (fa.n > 0).astype(dt)
-    n = fa.n * mask
+def _soa_split(fa: PlaneFactorArrays, Rg, pg):
+    """Component planes of a bucket + pre-gathered poses (shared by the
+    XLA path and the Pallas wrappers)."""
     m1, m2, m3 = fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2]
-    P11 = fa.Pc[..., 0, 0]; P12 = fa.Pc[..., 0, 1]; P13 = fa.Pc[..., 0, 2]
-    P22 = fa.Pc[..., 1, 1]; P23 = fa.Pc[..., 1, 2]; P33 = fa.Pc[..., 2, 2]
-    Rg = R[fa.frame]            # (V, K, 3, 3) — single gather
-    pg = p[fa.frame]            # (V, K, 3)
-    R11 = Rg[..., 0, 0]; R12 = Rg[..., 0, 1]; R13 = Rg[..., 0, 2]
-    R21 = Rg[..., 1, 0]; R22 = Rg[..., 1, 1]; R23 = Rg[..., 1, 2]
-    R31 = Rg[..., 2, 0]; R32 = Rg[..., 2, 1]; R33 = Rg[..., 2, 2]
-    p1, p2, p3 = pg[..., 0], pg[..., 1], pg[..., 2]
+    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
+          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    R9 = (Rg[..., 0, 0], Rg[..., 0, 1], Rg[..., 0, 2],
+          Rg[..., 1, 0], Rg[..., 1, 1], Rg[..., 1, 2],
+          Rg[..., 2, 0], Rg[..., 2, 1], Rg[..., 2, 2])
+    p3 = (pg[..., 0], pg[..., 1], pg[..., 2])
+    return (m1, m2, m3), P6, R9, p3
+
+
+def _soa_agg(n_raw, mu3, P6, R9, p3):
+    """Componentwise aggregation: world covariance + per-voxel stats.
+
+    Pure elementwise math + reductions over the trailing (K) axis — runs
+    identically as XLA ops on (V, K) planes and inside a Pallas kernel on
+    (Vt, K) blocks.  Returns everything both the residual path and the
+    linearization chain consume."""
+    dt = n_raw.dtype
+    mask = (n_raw > 0).astype(dt)
+    n = n_raw * mask
+    m1, m2, m3 = mu3
+    P11, P12, P13, P22, P23, P33 = P6
+    R11, R12, R13, R21, R22, R23, R31, R32, R33 = R9
+    p1, p2, p3_ = p3
 
     # R·mu and world mean m = R mu + p
     Rm1 = R11 * m1 + R12 * m2 + R13 * m3
@@ -700,7 +711,7 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     Rm3 = R31 * m1 + R32 * m2 + R33 * m3
     wm1 = Rm1 + p1
     wm2 = Rm2 + p2
-    wm3 = Rm3 + p3
+    wm3 = Rm3 + p3_
 
     # ---- aggregate: N, vbar, world scatter S (6 comps) ----
     N = jnp.sum(n, axis=-1)
@@ -734,17 +745,44 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     S22 = jnp.sum(mask * S22e + n * d2 * d2, axis=-1)
     S23 = jnp.sum(mask * S23e + n * d2 * d3, axis=-1)
     S33 = jnp.sum(mask * S33e + n * d3 * d3, axis=-1)
-    lam0, lam1, lam2, ev0, ev1, ev2 = eigh3_soa(
-        S11 * invN, S12 * invN, S13 * invN, S22 * invN, S23 * invN, S33 * invN
-    )
-    resid = jnp.sum(jnp.where(N > 0, lam0, 0.0))
-    u1, u2, u3 = ev0
-    # B rows: sqrt(2/(λi-λ0)) u_iᵀ for i = 1, 2
+    cov6 = (S11 * invN, S12 * invN, S13 * invN,
+            S22 * invN, S23 * invN, S33 * invN)
+    return mask, n, N, invN, (vb1, vb2, vb3), (Rm1, Rm2, Rm3), (
+        RP11, RP12, RP13, RP21, RP22, RP23, RP31, RP32, RP33), cov6
+
+
+def _soa_eig(cov6, N):
+    """Eigendecomposition + factor-row scalings per voxel.
+
+    Returns (residv (V,), u (3,), B1 (3,), B2 (3,)) where residv is the
+    masked λ_min contribution and B rows are sqrt(2/(λi−λ0))·u_iᵀ."""
+    lam0, lam1, lam2, ev0, ev1, ev2 = eigh3_soa(*cov6)
+    residv = jnp.where(N > 0, lam0, 0.0)
     scale = jnp.maximum(jnp.abs(lam2), 1e-20)
     s1 = jnp.sqrt(2.0 / jnp.maximum(lam1 - lam0, 1e-9 * scale))
     s2 = jnp.sqrt(2.0 / jnp.maximum(lam2 - lam0, 1e-9 * scale))
-    B11 = s1 * ev1[0]; B12 = s1 * ev1[1]; B13 = s1 * ev1[2]
-    B21 = s2 * ev2[0]; B22 = s2 * ev2[1]; B23 = s2 * ev2[2]
+    B1 = (s1 * ev1[0], s1 * ev1[1], s1 * ev1[2])
+    B2 = (s2 * ev2[0], s2 * ev2[1], s2 * ev2[2])
+    return residv, ev0, B1, B2
+
+
+def _soa_chain(mask, n, invN, vb, Rm, RP, mu3, P6, R9, p3, u, B1, B2):
+    """Per-entry linearization chain: factor rows + gradient/diagonal
+    pieces, all (V, K) componentwise (identical inside a Pallas block).
+
+    Returns (rows_ch (18,), jjt_ch (6,), d36_ch (36,)) channel tuples in
+    the stacking order of the (V, K, C) arrays the consumers use."""
+    m1, m2, m3 = mu3
+    P11, P12, P13, P22, P23, P33 = P6
+    R11, R12, R13, R21, R22, R23, R31, R32, R33 = R9
+    p1, p2, p3_ = p3
+    vb1, vb2, vb3 = vb
+    Rm1, Rm2, Rm3 = Rm
+    (RP11, RP12, RP13, RP21, RP22, RP23, RP31, RP32, RP33) = RP
+    u1, u2, u3 = u
+    B11, B12, B13 = B1
+    B21, B22, B23 = B2
+    dt = n.dtype
 
     # broadcast per-voxel scalars over K
     bc = lambda x: x[:, None]
@@ -761,7 +799,7 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     w3 = vi1 * r2 - vi2 * r1
     t1 = p1 - bc(vb1)
     t2 = p2 - bc(vb2)
-    t3 = p3 - bc(vb3)
+    t3 = p3_ - bc(vb3)
     adot = u1b * t1 + u2b * t2 + u3b * t3
     md = m1 * r1 + m2 * r2 + m3 * r3
     Pr1 = P11 * r1 + P12 * r2 + P13 * r3
@@ -883,16 +921,13 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     Dt11 = tn * u1b * u1b; Dt12 = tn * u1b * u2b; Dt13 = tn * u1b * u3b
     Dt22 = tn * u2b * u2b; Dt23 = tn * u2b * u3b; Dt33 = tn * u3b * u3b
 
-    D36 = jnp.stack(
-        [
-            Dr11, Dr12, Dr13, Drt11, Drt12, Drt13,
-            Dr21, Dr22, Dr23, Drt21, Drt22, Drt23,
-            Dr31, Dr32, Dr33, Drt31, Drt32, Drt33,
-            Drt11, Drt21, Drt31, Dt11, Dt12, Dt13,
-            Drt12, Drt22, Drt32, Dt12, Dt22, Dt23,
-            Drt13, Drt23, Drt33, Dt13, Dt23, Dt33,
-        ],
-        axis=-1,
+    d36_ch = (
+        Dr11, Dr12, Dr13, Drt11, Drt12, Drt13,
+        Dr21, Dr22, Dr23, Drt21, Drt22, Drt23,
+        Dr31, Dr32, Dr33, Drt31, Drt32, Drt33,
+        Drt11, Drt21, Drt31, Dt11, Dt12, Dt13,
+        Drt12, Drt22, Drt32, Dt12, Dt22, Dt23,
+        Drt13, Drt23, Drt33, Dt13, Dt23, Dt33,
     )
 
     # ---- factor rows: BA (2x6) + √2/N [w; n u] ----
@@ -911,16 +946,42 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     BA25 = B21b * A15 + B22b * A25 + B23b * A35
     BA26 = B21b * A16 + B22b * A26 + B23b * A36
     sq = jnp.sqrt(jnp.asarray(2.0, dt)) * invNb * mask
-    rows18 = jnp.stack(
-        [
-            BA11, BA12, BA13, BA14, BA15, BA16,
-            BA21, BA22, BA23, BA24, BA25, BA26,
-            sq * w1, sq * w2, sq * w3, sq * n * u1b, sq * n * u2b, sq * n * u3b,
-        ],
-        axis=-1,
+    rows_ch = (
+        BA11, BA12, BA13, BA14, BA15, BA16,
+        BA21, BA22, BA23, BA24, BA25, BA26,
+        sq * w1, sq * w2, sq * w3, sq * n * u1b, sq * n * u2b, sq * n * u3b,
     )
-    jjt6 = jnp.stack([j1, j2, j3, j4, j5, j6], axis=-1)
-    return resid, jjt6, D36, rows18
+    jjt_ch = (j1, j2, j3, j4, j5, j6)
+    return rows_ch, jjt_ch, d36_ch
+
+
+def _soa_kernel_enabled() -> bool:
+    """Trace-time switch for the fused Pallas SoA kernel.  The XLA lowering
+    of the componentwise evaluation fragments into ~185 fusion launches +
+    ~190 async copies per eval (measured, W=512 scene) — latency-bound at
+    ~15 ms for ~0.15 GFLOP of work; the fused kernel runs the whole
+    per-voxel pipeline (aggregation, eigh3, linearization chain) in VMEM
+    in one launch per V-tile."""
+    return os.environ.get("LVBA_SOA_KERNEL", "xla") == "pallas"
+
+
+def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
+    """SoA evaluation. Returns (resid, jjt6 (V,K,6), D36 (V,K,36),
+    rows18 (V,K,18)) with rows = [B1·A; B2·A; √2/N·[w; n·u]]."""
+    Rg = R[fa.frame]            # (V, K, 3, 3) — single gather
+    pg = p[fa.frame]            # (V, K, 3)
+    mu3, P6, R9, p3 = _soa_split(fa, Rg, pg)
+    mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
+    residv, u, B1, B2 = _soa_eig(cov6, N)
+    rows_ch, jjt_ch, d36_ch = _soa_chain(
+        mask, n, invN, vb, Rm, RP, mu3, P6, R9, p3, u, B1, B2
+    )
+    return (
+        jnp.sum(residv),
+        jnp.stack(jjt_ch, axis=-1),
+        jnp.stack(d36_ch, axis=-1),
+        jnp.stack(rows_ch, axis=-1),
+    )
 
 
 def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
@@ -935,6 +996,36 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
     broadcast-reduce form lowered to the VPU and was ~100x slower at
     W = 200)."""
     V, K = fa_c.n.shape
+    if _soa_kernel_enabled() and inv_c is None:
+        # fused Pallas evaluation: channel-major outputs; the one-hot
+        # expansion matmuls are re-expressed against that layout (same
+        # operands, same HIGHEST precision, same results)
+        from ..ops.pallas.soa_fused import soa_fused_channels
+
+        residv, rowsC, jjtC, d36C = soa_fused_channels(
+            fa_c, R[fa_c.frame], p[fa_c.frame]
+        )
+        hi = jax.lax.Precision.HIGHEST
+        onehot = (
+            fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)
+        ).astype(fa_c.n.dtype)
+        oh_flat = onehot.reshape(V * K, W)
+        g = jax.lax.dot_general(
+            jjtC.reshape(6, V * K), oh_flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=fa_c.n.dtype, precision=hi,
+        ).T                                              # (W, 6)
+        Hd = jax.lax.dot_general(
+            d36C.reshape(36, V * K), oh_flat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=fa_c.n.dtype, precision=hi,
+        ).T.reshape(W, 6, 6)
+        M = jax.lax.dot_general(
+            onehot, rowsC,
+            dimension_numbers=(((1,), (2,)), ((0,), (1,))),
+            preferred_element_type=fa_c.n.dtype, precision=hi,
+        )                                                # (V, W, 18)
+        return jnp.sum(residv), g, Hd, M.reshape(V, W, 3, 6)
     resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
     if inv_c is not None:
         dt = fa_c.n.dtype
@@ -971,46 +1062,13 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
 
 def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Residual-only evaluation in SoA layout (trial steps of the LM)."""
-    V, K = fa.n.shape
-    dt = fa.n.dtype
-    mask = (fa.n > 0).astype(dt)
-    n = fa.n * mask
-    m1, m2, m3 = fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2]
-    P11 = fa.Pc[..., 0, 0]; P12 = fa.Pc[..., 0, 1]; P13 = fa.Pc[..., 0, 2]
-    P22 = fa.Pc[..., 1, 1]; P23 = fa.Pc[..., 1, 2]; P33 = fa.Pc[..., 2, 2]
+    if _soa_kernel_enabled():
+        from ..ops.pallas.soa_fused import soa_resid_fused
+
+        return jnp.sum(soa_resid_fused(fa, R[fa.frame], p[fa.frame]))
     Rg = R[fa.frame]
     pg = p[fa.frame]
-    R11 = Rg[..., 0, 0]; R12 = Rg[..., 0, 1]; R13 = Rg[..., 0, 2]
-    R21 = Rg[..., 1, 0]; R22 = Rg[..., 1, 1]; R23 = Rg[..., 1, 2]
-    R31 = Rg[..., 2, 0]; R32 = Rg[..., 2, 1]; R33 = Rg[..., 2, 2]
-    wm1 = R11 * m1 + R12 * m2 + R13 * m3 + pg[..., 0]
-    wm2 = R21 * m1 + R22 * m2 + R23 * m3 + pg[..., 1]
-    wm3 = R31 * m1 + R32 * m2 + R33 * m3 + pg[..., 2]
-    N = jnp.sum(n, axis=-1)
-    N_safe = jnp.where(N > 0, N, 1.0)
-    invN = 1.0 / N_safe
-    vb1 = jnp.sum(n * wm1, axis=-1) * invN
-    vb2 = jnp.sum(n * wm2, axis=-1) * invN
-    vb3 = jnp.sum(n * wm3, axis=-1) * invN
-    RP11 = R11 * P11 + R12 * P12 + R13 * P13
-    RP12 = R11 * P12 + R12 * P22 + R13 * P23
-    RP13 = R11 * P13 + R12 * P23 + R13 * P33
-    RP21 = R21 * P11 + R22 * P12 + R23 * P13
-    RP22 = R21 * P12 + R22 * P22 + R23 * P23
-    RP23 = R21 * P13 + R22 * P23 + R23 * P33
-    RP31 = R31 * P11 + R32 * P12 + R33 * P13
-    RP32 = R31 * P12 + R32 * P22 + R33 * P23
-    RP33 = R31 * P13 + R32 * P23 + R33 * P33
-    d1 = wm1 - vb1[:, None]
-    d2 = wm2 - vb2[:, None]
-    d3 = wm3 - vb3[:, None]
-    S11 = jnp.sum(mask * (RP11 * R11 + RP12 * R12 + RP13 * R13) + n * d1 * d1, axis=-1)
-    S12 = jnp.sum(mask * (RP11 * R21 + RP12 * R22 + RP13 * R23) + n * d1 * d2, axis=-1)
-    S13 = jnp.sum(mask * (RP11 * R31 + RP12 * R32 + RP13 * R33) + n * d1 * d3, axis=-1)
-    S22 = jnp.sum(mask * (RP21 * R21 + RP22 * R22 + RP23 * R23) + n * d2 * d2, axis=-1)
-    S23 = jnp.sum(mask * (RP21 * R31 + RP22 * R32 + RP23 * R33) + n * d2 * d3, axis=-1)
-    S33 = jnp.sum(mask * (RP31 * R31 + RP32 * R32 + RP33 * R33) + n * d3 * d3, axis=-1)
-    lam0, _, _ = eigvals3_soa(
-        S11 * invN, S12 * invN, S13 * invN, S22 * invN, S23 * invN, S33 * invN
-    )
+    mu3, P6, R9, p3 = _soa_split(fa, Rg, pg)
+    _, _, N, invN, _, _, _, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
+    lam0, _, _ = eigvals3_soa(*cov6)
     return jnp.sum(jnp.where(N > 0, lam0, 0.0))

@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    # Mosaic's dot_general lowering supports only DEFAULT/HIGHEST
+    # (NotImplementedError "Unsupported dot precision: HIGH" on TPU);
+    # HIGH requests round up to HIGHEST rather than crash
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
 

@@ -11,9 +11,13 @@ Prints one JSON line per variant.  Run ALONE (one TPU client at a time).
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -59,6 +63,88 @@ def chained_eval_ms(buckets, invs, R, p, W, reps=6):
         ts.append(time.perf_counter() - t0)
     dt = min(ts) / reps
     return dt * 1e3, flops
+
+
+def stage_probe(buckets, R, p, W, out, reps=6):
+    """Cumulative stage timings of the one-hot evaluation: where do the
+    ~29 ms go?  Stages (each keeps all its outputs live via sum(abs)):
+      soa    — _soa_core only (eigh3 + per-entry chain, pure VPU)
+      ghd    — + one-hot g/Hd reductions
+      m      — + one-hot M expansion (V, W, 3, 6)
+      gram   — + the MᵀM Gram dot (full eval minus the Hd scatter)
+    Differences between consecutive lines = per-region cost."""
+    import jax
+    from global_lvba_tpu.factors import plane_eigen as pe
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def eval_stage(stage, R_, p_):
+        acc = jnp.zeros((), R_.dtype)
+        for fa in buckets:
+            V, K = fa.n.shape
+            resid, jjt6, D36, rows18 = pe._soa_core(fa, R_, p_, W)
+            acc = acc + resid
+            if stage == "soa":
+                acc = acc + 1e-30 * (
+                    jnp.sum(jnp.abs(jjt6)) + jnp.sum(jnp.abs(D36))
+                    + jnp.sum(jnp.abs(rows18))
+                )
+                continue
+            onehot = (
+                fa.frame[..., None] == jnp.arange(W, dtype=fa.frame.dtype)
+            ).astype(fa.n.dtype)
+            oh_flat = onehot.reshape(V * K, W)
+            g = jax.lax.dot_general(
+                oh_flat, jjt6.reshape(V * K, 6),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=fa.n.dtype, precision=hi,
+            )
+            Hd = jax.lax.dot_general(
+                oh_flat, D36.reshape(V * K, 36),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=fa.n.dtype, precision=hi,
+            )
+            acc = acc + 1e-30 * (jnp.sum(jnp.abs(g)) + jnp.sum(jnp.abs(Hd)))
+            if stage == "ghd":
+                acc = acc + 1e-30 * jnp.sum(jnp.abs(rows18))
+                continue
+            M = jax.lax.dot_general(
+                onehot, rows18,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=fa.n.dtype, precision=hi,
+            ).reshape(V, W, 3, 6)
+            if stage == "m":
+                acc = acc + 1e-30 * jnp.sum(jnp.abs(M))
+                continue
+            Hq = jax.lax.dot_general(
+                M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+                preferred_element_type=M.dtype, precision=hi,
+            )
+            acc = acc + 1e-30 * jnp.sum(jnp.abs(Hq))
+        return acc
+
+    for stage in ("soa", "ghd", "m", "gram"):
+        @jax.jit
+        def loop(R_, p_, stage=stage):
+            def body(_i, carry):
+                Rc, pc, acc = carry
+                s = eval_stage(stage, Rc, pc)
+                eps = s * jnp.asarray(1e-30, Rc.dtype)
+                return (Rc + eps, pc + eps, acc + s)
+
+            _, _, acc = jax.lax.fori_loop(
+                0, reps, body, (R, p, jnp.zeros((), R.dtype))
+            )
+            return acc
+
+        np.asarray(loop(R, p))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(R, p))
+            ts.append(time.perf_counter() - t0)
+        out[f"stage_ms_{stage}"] = round(min(ts) / reps * 1e3, 2)
+        print(json.dumps(out), flush=True)
 
 
 def lm_ms_per_iter(buckets, R, p, gather, iters=4):
@@ -115,6 +201,7 @@ def main():
         print(json.dumps(out), flush=True)
 
     eval_variant("onehot", None)
+    stage_probe(buckets, R, p, W, out)
     eval_variant("gather60", invs60)
     eval_variant("plan", plans)
     eval_variant("plan_syrk", plans, env={"LVBA_GRAM_KERNEL": "pallas"})
