@@ -112,19 +112,23 @@ def syrk(
         A = jnp.pad(A, ((0, Krp - Kr), (0, Np - N)))
     tiles = _syrk_tiles(A, tile, kc, precision, interpret)
     T = Np // tile
-    off = jnp.zeros((Np, Np), A.dtype)
-    dia = jnp.zeros((Np, Np), A.dtype)
+    # Mirror each off-diagonal tile at placement time rather than
+    # transposing the assembled matrix: `full = off + off.T` fused under an
+    # outer jit MISCOMPILES on TPU when `off` is a dynamic-update-slice
+    # chain over the pallas output (measured 13% error on the mirrored
+    # blocks while `off` itself is exact; scripts/kernel_parity_tpu.py
+    # guards this).  Per-tile transposes sidestep the bad fusion and skip
+    # materializing a second (Np, Np) temporary.
+    full = jnp.zeros((Np, Np), A.dtype)
     g = 0
     for i in range(T):
         for j in range(i + 1):
-            if i == j:
-                dia = jax.lax.dynamic_update_slice(
-                    dia, tiles[g], (i * tile, j * tile)
-                )
-            else:
-                off = jax.lax.dynamic_update_slice(
-                    off, tiles[g], (i * tile, j * tile)
+            full = jax.lax.dynamic_update_slice(
+                full, tiles[g], (i * tile, j * tile)
+            )
+            if i != j:
+                full = jax.lax.dynamic_update_slice(
+                    full, tiles[g].T, (j * tile, i * tile)
                 )
             g += 1
-    full = off + off.T + dia
     return full[:N, :N] if Np != N else full

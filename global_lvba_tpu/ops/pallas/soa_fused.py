@@ -109,9 +109,15 @@ def _channel_major(fa, Rg, pg):
 
 
 def _tile(V: int, K: int, budget_elems: int = 8192):
-    """V-tile size: ~budget_elems entries per block, sublane-aligned."""
-    vt = max(8, min(V, budget_elems // max(K, 1)))
-    vt = max(8, (vt // 8) * 8)
+    """V-tile size: sublane-aligned, sized so the chain kernel's live set
+    fits scoped VMEM.  Mosaic lays each (vt, K) value out padded to 128
+    lanes, and the linearization chain holds ~150 live values at its widest
+    point (measured from the compiler's stack-OOM report: vt=256, K=32 ->
+    20.25 MB scoped), so the footprint is ~vt * roundup(K, 128) * 4 B * 160
+    regardless of K <= 128 — budget it against ~11 MB of the 16 MB limit."""
+    lanes = -(-max(K, 1) // 128) * 128
+    vt = min(budget_elems // max(K, 1), 11 * 1024 * 1024 // (lanes * 4 * 160))
+    vt = max(8, min(V, (vt // 8) * 8))
     vp = -(-V // vt) * vt
     return vt, vp
 
