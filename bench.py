@@ -39,6 +39,12 @@ import time
 
 import numpy as np
 
+# persistent compile cache: repeated bench runs (and retries after a
+# remote-compile failure) skip recompiling executables already built in a
+# previous session — the profile scripts already did this, bench did not
+# (VERDICT r3 weak #2)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 def _probe_backend_once(timeout_s):
     """Run a tiny jit in a SUBPROCESS: a failed/hung backend init must not
@@ -148,6 +154,22 @@ def bench_lidar_w50(light: bool = False):
     from global_lvba_tpu.native import runtime as nat
 
     Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.005, 0.02, seed=1)
+
+    # headline denominator: FULL damped-LM vs full damped-LM (same Nielsen
+    # loop, one trial evaluation + LAPACK solve per iteration,
+    # native/lvba_native.cpp::lvba_lm_solve).  Round <= 3 divided full-LM
+    # TPU iters/s by an EVAL-ONLY native time (apples-to-oranges,
+    # VERDICT r3 weak #5); that eval-only ratio is kept as vs_native_eval.
+    cpu_native_lm_ips = None
+    try:
+        t0 = time.perf_counter()
+        out2 = nat.lm_solve(vm.buckets, Rp, pp, W,
+                            max_iters=2 if light else LM_ITERS)
+        if out2 is not None and out2[3] > 0:
+            cpu_native_lm_ips = out2[3] / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     cpu_native_ips = None
     out = nat.plane_cgh(vm.buckets[0], Rp, pp, W) if vm.buckets else None
     if out is not None:
@@ -220,7 +242,7 @@ def bench_lidar_w50(light: bool = False):
     except Exception as e:  # cost_analysis may be unsupported on a backend
         mfu = {"mfu_error": str(e)[:120]}
 
-    return tpu_ips, cpu_native_ips, numpy_ips, mfu
+    return tpu_ips, cpu_native_lm_ips, cpu_native_ips, numpy_ips, mfu
 
 
 def bench_sift():
@@ -407,13 +429,20 @@ def bench_w512():
     ), mfu
 
 
-def bench_wlarge(W: int = 2048, points_per_frame: int = 1000):
+def bench_wlarge(W: int = 2048, points_per_frame: int = 1000,
+                 split: bool = False):
     """Large-W scaling point: corridor global anchor BA through the
     block-banded Gram path (auto-selected; plane_eigen.build_banded_groups).
     The dense Gram at this W costs ~(W/2B)² more flops — this line is the
     measured demonstration of the designed scaling axis.  W = 4096 is the
     single-chip ceiling probe: the assembled (6W)² f32 Hessian is 2.4 GB
-    (HBM 16 GB), reduced solve auto-selects block-Jacobi CG."""
+    (HBM 16 GB), reduced solve auto-selects block-Jacobi CG.
+
+    split=True runs the host-driven split-executable LM
+    (solver/lm.py:lm_damping_iter_split): the fused whole-loop program at
+    W >= 2048 exceeded what the tunnel's remote-compile service accepts
+    (HTTP 500, BENCH_r03) — the split path compiles three bounded programs
+    instead."""
     import jax
     import jax.numpy as jnp
 
@@ -422,7 +451,9 @@ def bench_wlarge(W: int = 2048, points_per_frame: int = 1000):
         ate_rmse, make_corridor_scene, perturb_poses,
     )
     from global_lvba_tpu.factors.padding import buckets_to_device
-    from global_lvba_tpu.solver.lm import lm_damping_iter
+    from global_lvba_tpu.solver.lm import (
+        lm_damping_iter, lm_damping_iter_split,
+    )
 
     ITERS = 3
     scene = make_corridor_scene(num_frames=W, points_per_frame=points_per_frame,
@@ -435,12 +466,13 @@ def bench_wlarge(W: int = 2048, points_per_frame: int = 1000):
     Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
     R = jax.device_put(jnp.asarray(Rp, jnp.float32))
     p = jax.device_put(jnp.asarray(pp, jnp.float32))
-    res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
+    solve = lm_damping_iter_split if split else lm_damping_iter
+    res = solve(buckets, R, p, max_iters=ITERS)
     np.asarray(res.R)
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        res = lm_damping_iter(buckets, R, p, max_iters=ITERS)
+        res = solve(buckets, R, p, max_iters=ITERS)
         np.asarray(res.R)
         ts.append(time.perf_counter() - t0)
     n_pts = int(scene.points_body.shape[0])
@@ -566,6 +598,16 @@ def bench_visual_m200():
 def main():
     extras = {}
     backend_error = _ensure_backend()
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     if backend_error is not None:
         # persistent tunnel outage: record it, run on the CPU backend so
         # the round still gets a real (if slower) artifact, and skip the
@@ -573,16 +615,22 @@ def main():
         extras["backend_error"] = backend_error
         extras["backend"] = "cpu_fallback"
 
-    tpu_ips, cpu_native_ips, numpy_ips, mfu = bench_lidar_w50(
-        light=backend_error is not None
+    tpu_ips, cpu_native_lm_ips, cpu_native_ips, numpy_ips, mfu = (
+        bench_lidar_w50(light=backend_error is not None)
     )
     extras.update(mfu)
     extras["vs_numpy_1t"] = round(tpu_ips / numpy_ips, 2)
-    vs_base = (
-        round(tpu_ips / cpu_native_ips, 2)
-        if cpu_native_ips
-        else extras["vs_numpy_1t"]
-    )
+    # headline: full-LM iters/s vs the native full-LM solve (like-for-like);
+    # the old eval-only ratio stays visible as vs_native_eval
+    if cpu_native_ips:
+        extras["vs_native_eval"] = round(tpu_ips / cpu_native_ips, 2)
+    if cpu_native_lm_ips:
+        vs_base = round(tpu_ips / cpu_native_lm_ips, 2)
+        extras["native_lm_iters_per_sec"] = round(cpu_native_lm_ips, 2)
+    elif cpu_native_ips:
+        vs_base = round(tpu_ips / cpu_native_ips, 2)
+    else:
+        vs_base = extras["vs_numpy_1t"]
     extras["cpu_native_threads"] = os.cpu_count()
 
     if backend_error is None:
@@ -609,12 +657,14 @@ def main():
         except Exception as e:
             extras["visual_error"] = str(e)[:120]
 
-        for Wl in (2048, 4096):
-            # the tunnel's remote-compile service intermittently 500s /
-            # drops the body on large programs; one retry rescues the line
+        # W=1536 compiles fused (near the round-2-measured W=1024 regime);
+        # W>=2048 goes straight to the split-executable path — the fused
+        # whole-loop program at these Ws exceeds what the tunnel's
+        # remote-compile service accepts (HTTP 500 twice in round 3)
+        for Wl, split in ((1536, False), (2048, True), (4096, True)):
             for attempt in (0, 1):
                 try:
-                    ms, ate0, ate1, n_pts = bench_wlarge(Wl)
+                    ms, ate0, ate1, n_pts = bench_wlarge(Wl, split=split)
                     extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
                     extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
                     extras[f"w{Wl}_points"] = n_pts
@@ -624,6 +674,9 @@ def main():
                     extras[f"w{Wl}_error"] = str(e)[:120]
                     if "remote_compile" not in str(e):
                         break
+                    if not split:
+                        # fused program rejected: retry through the split path
+                        split = True
                     time.sleep(20)
 
         try:

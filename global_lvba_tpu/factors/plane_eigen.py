@@ -40,18 +40,79 @@ from ..geometry.so3 import hat
 
 
 def _gram_precision():
-    """Matmul precision of the -MᵀM Gram only (selection matmuls stay
-    HIGHEST — they must not round the factor rows).  f32 HIGHEST is six
-    bf16 passes; HIGH (three passes, ~2^-21 relative) is a measured
-    candidate once the Gram dominates the evaluation.  Env knob so the
-    profiling script can sweep it; default stays HIGHEST until an
-    accuracy-gated on-chip measurement says otherwise."""
-    name = os.environ.get("LVBA_GRAM_PRECISION", "highest").lower()
+    """Matmul precision of the -MᵀM Gram only (selection matmuls use the
+    exact bf16-split scheme below — they must not round the factor rows).
+    f32 HIGHEST is six bf16 passes; HIGH is three (~2^-21 relative).
+    Default HIGH by measurement (TPU v5e, W=512 sweep, round 4): converged
+    ATE identical to HIGHEST at 0.000673 m across every variant while the
+    Gram drops 6.5 -> ~3.4 ms/eval; env knob to restore HIGHEST."""
+    name = os.environ.get("LVBA_GRAM_PRECISION", "high").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
+
+
+def _use_exact_bf16_dots(dt) -> bool:
+    """The exact-selection dot scheme applies on TPU f32: MXU passes take
+    bf16 operands natively, so a 0/1 one-hot in bf16 times a 3-way
+    bf16-split of the values reproduces the f32 selection EXACTLY in 3
+    single-pass dots (vs 6 passes for HIGHEST, which is what selection
+    previously ran at).  f64 (CPU parity/oracle runs) keeps real dots.
+    LVBA_EXACT_DOTS: "0" disables (A/B measurement), "force" enables on
+    any backend (CPU equality tests of this exact path)."""
+    flag = os.environ.get("LVBA_EXACT_DOTS", "1")
+    if flag == "force":
+        return dt == jnp.float32
+    return (flag == "1" and dt == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def _split3_bf16(x):
+    """x == x0 + x1 + x2 with every term exactly bf16-representable: three
+    8-bit mantissa slices cover f32's 24 bits (values here are O(1) pose /
+    moment entries, far from the bf16 subnormal range).
+
+    The rounding MUST go through lax.reduce_precision, not astype: under
+    --xla_allow_excess_precision (set by this TPU runtime) XLA elides
+    bf16->f32->bf16 cast chains and then collapses the three split dots
+    into ONE default-precision pass — measured: outputs came back
+    bf16-quantized and the W=512 ATE regressed 0.000673 -> 0.0039.
+    reduce_precision is semantically a hard rounding and blocks the
+    rewrite."""
+    rp = lambda v: jax.lax.reduce_precision(v, 8, 7)
+    x0 = rp(x)
+    r = x - x0
+    x1 = rp(r)
+    x2 = rp(r - x1)
+    bf = jnp.bfloat16
+    return x0.astype(bf), x1.astype(bf), x2.astype(bf)
+
+
+def _exact_sel_dot(values, onehot_bf, dn, values_left: bool,
+                   pack_axis: int, out_axis: int):
+    """dot_general between f32 `values` and a bf16 0/1 `onehot_bf` with
+    EXACT f32 selection semantics: each split term's products are exact
+    (bf16 x {0,1} -> f32 accumulate), and the three partials sum back to
+    the full mantissa.  Exactness is load-bearing — the selected factor
+    rows feed the Gram Hessian and a HIGH-precision selection measurably
+    perturbs the LM trajectory.
+
+    The three splits are PACKED along the values' free axis (`pack_axis`,
+    widening it 3x; `out_axis` is where it lands in the output) so the
+    whole selection is ONE single-pass bf16 dot — 3x fewer MXU passes
+    than summing three dots, and the big one-hot operand streams from
+    HBM once instead of three times."""
+    dt = values.dtype
+    t = jnp.concatenate(_split3_bf16(values), axis=pack_axis)
+    lhs, rhs = (t, onehot_bf) if values_left else (onehot_bf, t)
+    d = jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=dn, preferred_element_type=dt
+    )
+    C = values.shape[pack_axis]
+    sl = lambda i: jax.lax.slice_in_dim(d, i * C, (i + 1) * C, axis=out_axis)
+    return sl(0) + sl(1) + sl(2)
 
 
 class PlaneFactorArrays(NamedTuple):
@@ -690,6 +751,36 @@ def _soa_split(fa: PlaneFactorArrays, Rg, pg):
     return (m1, m2, m3), P6, R9, p3
 
 
+def _pose_channels(fa: PlaneFactorArrays, R, p, W: int):
+    """Per-entry pose component planes R9 (9 x (V, K)), p3 (3 x (V, K))
+    WITHOUT a per-entry row gather.
+
+    R[fa.frame] row-gathers serialize on TPU: at the representative W=512
+    scene (790k entries) the two pose gathers alone measured 14.0 ms of
+    the 29.2 ms evaluation — the single largest cost in the engine
+    (scripts/probe_pose_layout.py).  The equivalent one-hot selection
+    rides the MXU in ~2.6 ms and lands the channels in channel-major
+    layout directly (the (V,K,9)->(9,V,K) relayout XLA also does badly).
+    Exact selection via the bf16-split scheme; non-TPU/f64 keeps the
+    gather (CPU gathers are fine, and f64 parity runs stay bit-faithful
+    to the oracle path)."""
+    if not _use_exact_bf16_dots(R.dtype):
+        Rg = R[fa.frame]
+        pg = p[fa.frame]
+        _, _, R9, p3 = _soa_split(fa, Rg, pg)
+        return R9, p3
+    V, K = fa.n.shape
+    tbl = jnp.concatenate([R.reshape(W, 9), p], axis=1)          # (W, 12)
+    oh_bf = (
+        fa.frame[..., None] == jnp.arange(W, dtype=fa.frame.dtype)
+    ).astype(jnp.bfloat16).reshape(V * K, W)
+    g12 = _exact_sel_dot(
+        tbl, oh_bf, (((0,), (1,)), ((), ())), values_left=True,
+        pack_axis=1, out_axis=0,
+    ).reshape(12, V, K)
+    return tuple(g12[i] for i in range(9)), (g12[9], g12[10], g12[11])
+
+
 def _soa_agg(n_raw, mu3, P6, R9, p3):
     """Componentwise aggregation: world covariance + per-voxel stats.
 
@@ -968,9 +1059,10 @@ def _soa_kernel_enabled() -> bool:
 def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     """SoA evaluation. Returns (resid, jjt6 (V,K,6), D36 (V,K,36),
     rows18 (V,K,18)) with rows = [B1·A; B2·A; √2/N·[w; n·u]]."""
-    Rg = R[fa.frame]            # (V, K, 3, 3) — single gather
-    pg = p[fa.frame]            # (V, K, 3)
-    mu3, P6, R9, p3 = _soa_split(fa, Rg, pg)
+    mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
+    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
+          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    R9, p3 = _pose_channels(fa, R, p, W)
     mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     residv, u, B1, B2 = _soa_eig(cov6, N)
     rows_ch, jjt_ch, d36_ch = _soa_chain(
@@ -1035,6 +1127,24 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
         g = jnp.sum(G[..., 18:24], axis=0)                        # (W, 6)
         Hd = jnp.sum(G[..., 24:60], axis=0).reshape(W, 6, 6)
         return resid, g, Hd, G[..., :18].reshape(V, W, 3, 6)
+    if _use_exact_bf16_dots(fa_c.n.dtype):
+        # exact-selection scheme: 3 single-pass bf16 dots instead of the
+        # 6-pass HIGHEST, same f32 results (see _exact_sel_dot); g and Hd
+        # share one (VK, 42) operand so the one-hot streams once
+        oh_bf = (
+            fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)
+        ).astype(jnp.bfloat16)
+        cat42 = jnp.concatenate([jjt6, D36], axis=-1).reshape(V * K, 42)
+        gHd = _exact_sel_dot(
+            cat42, oh_bf.reshape(V * K, W), (((0,), (0,)), ((), ())),
+            values_left=False, pack_axis=1, out_axis=1,
+        )                                                   # (W, 42)
+        M = _exact_sel_dot(
+            rows18, oh_bf, (((1,), (1,)), ((0,), (0,))), values_left=False,
+            pack_axis=2, out_axis=2,
+        )                                                   # (V, W, 18)
+        return (resid, gHd[:, :6], gHd[:, 6:].reshape(W, 6, 6),
+                M.reshape(V, W, 3, 6))
     onehot = (fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)).astype(
         fa_c.n.dtype
     )
@@ -1066,9 +1176,10 @@ def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp
         from ..ops.pallas.soa_fused import soa_resid_fused
 
         return jnp.sum(soa_resid_fused(fa, R[fa.frame], p[fa.frame]))
-    Rg = R[fa.frame]
-    pg = p[fa.frame]
-    mu3, P6, R9, p3 = _soa_split(fa, Rg, pg)
+    mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
+    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
+          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    R9, p3 = _pose_channels(fa, R, p, R.shape[0])
     _, _, N, invN, _, _, _, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     lam0, _, _ = eigvals3_soa(*cov6)
     return jnp.sum(jnp.where(N > 0, lam0, 0.0))

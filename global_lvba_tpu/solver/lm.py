@@ -317,6 +317,133 @@ def _lm_jitted(
     return LMResult(R=R, p=p, iters=it, residual=res1)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _cgh_dense_exec(buckets, R, p, W, g_size_f):
+    r, g, H = _total_cgh(buckets, R, p, W)
+    return r / g_size_f, g, H
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _cgh_banded_exec(groups_all, R, p, W, g_size_f):
+    resid = jnp.zeros((), R.dtype)
+    g = jnp.zeros((W, 6), R.dtype)
+    Hd = jnp.zeros((W, 6, 6), R.dtype)
+    H = jnp.zeros((6 * W, 6 * W), R.dtype)
+    for bg in groups_all:
+        r_, g_, Hd_, H_ = banded_cgh(bg, R, p, W)
+        resid, g, Hd, H = resid + r_, g + g_, Hd + Hd_, H + H_
+    Hq = H.reshape(W, 6, W, 6)
+    Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
+    return resid / g_size_f, g.reshape(W * 6), Hq.reshape(6 * W, 6 * W)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _solve_exec(H, g, u, g_size_f, solver):
+    if solver == "cg":
+        from .dist_solve import solve_damped_cg
+
+        dx = solve_damped_cg(H, g, u, h_sharding=None, max_iters=96)
+    else:
+        dx = _solve_damped(H, g, u)
+    d = jnp.diagonal(H)
+    q1 = 0.5 * jnp.dot(dx, u * d * dx - g) / g_size_f
+    return dx, q1
+
+
+@jax.jit
+def _step_exec(R, p, dx):
+    return boxplus_pose(R, p, dx.reshape(R.shape[0], 6))
+
+
+def lm_damping_iter_split(
+    buckets: Sequence[PlaneFactorArrays],
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    max_iters: int = 10,
+    u_init: float = 0.01,
+    v_init: float = 2.0,
+    rel_tol: float = 1e-6,
+    reduced_solver: str = "auto",
+    hessian: str = "auto",
+) -> LMResult:
+    """Host-driven LM with the SAME Nielsen schedule / acceptance / AVG_THR
+    semantics as the fused `lm_damping_iter` loop, but compiled as THREE
+    small executables (factor evaluation, damped solve, pose step) with the
+    trust-region bookkeeping on host.
+
+    Exists because the tunnel's remote-compile service rejects very large
+    single programs: the W >= 2048 banded LM jits the whole Nielsen loop +
+    group scan + 96-trip CG as ONE executable and died with HTTP 500 twice
+    in round 3 (BENCH_r03 w2048_error/w4096_error).  Splitting bounds each
+    program's size; the price is ~2 scalar device->host fetches per
+    iteration (~50 ms through the tunnel) — negligible against the
+    100s-of-ms per-iteration compute at the Ws where this path is needed.
+    Numerically it performs the identical update sequence (f32 rounding of
+    the host-vs-device Nielsen scalars aside); equality-tested vs the fused
+    loop in tests/test_lm_split.py.
+    """
+    W = R0.shape[0]
+    solver = str(reduced_solver)
+    if solver == "auto":
+        solver = "cg" if 6 * W >= 1536 else "lu"
+
+    use_banded = False
+    if hessian in ("auto", "banded"):
+        want = hessian == "banded"
+        if want or W >= 1024:
+            groups_all = []
+            dense_cost = banded_cost = 0
+            for fa in buckets:
+                bg = build_banded_groups(fa, W)
+                groups_all.append(bg)
+                dense_cost += fa.n.shape[0] * W * W
+                G, Vp, _ = bg.fa.n.shape
+                width = bg.inv.shape[-1]
+                banded_cost += G * Vp * width * width
+                banded_cost += bg.wide_fa.n.shape[0] * W * W
+            use_banded = want or banded_cost * 4 <= dense_cost
+
+    g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+    g_size_f = jnp.asarray(float(max(g_size, 1)), R0.dtype)
+
+    if use_banded:
+        cgh = lambda R, p: _cgh_banded_exec(
+            tuple(groups_all), R, p, W, g_size_f)
+    else:
+        cgh = lambda R, p: _cgh_dense_exec(tuple(buckets), R, p, W, g_size_f)
+
+    R, p = R0, p0
+    res1_d, g, H = cgh(R, p)
+    res1 = float(res1_d)
+    u, v = float(u_init), float(v_init)
+    it = 0
+    for _ in range(max_iters):
+        dx, q1_d = _solve_exec(H, g, jnp.asarray(u, R0.dtype), g_size_f,
+                               solver)
+        R_t, p_t = _step_exec(R, p, dx)
+        res2_d, g_t, H_t = cgh(R_t, p_t)
+        res2, q1 = float(res2_d), float(q1_d)
+
+        q = res1 - res2
+        converged = abs(res1 - res2) / (abs(res1) if res1 != 0 else 1.0) \
+            < rel_tol
+        if q > 0:
+            qr = q / (q1 if q1 != 0 else 1.0)
+            u *= max(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+            v = 2.0
+            R, p, g, H, res1 = R_t, p_t, g_t, H_t, res2
+        else:
+            u *= v
+            v *= 2.0
+        it += 1
+        if converged:
+            break
+    return LMResult(
+        R=R, p=p, iters=jnp.asarray(it, jnp.int32),
+        residual=jnp.asarray(res1, R0.dtype),
+    )
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
                       rel_tol, reduced_solver, g_size, mesh=None,

@@ -147,6 +147,44 @@ def stage_probe(buckets, R, p, W, out, reps=6):
         print(json.dumps(out), flush=True)
 
 
+def kernel_only_ms(buckets, R, p, out=None, reps=6):
+    """Device time of the fused SoA kernels ALONE (no frame expansion, no
+    Gram) — the floor the kernel sets against the stage_ms_soa XLA line."""
+    from global_lvba_tpu.ops.pallas.soa_fused import soa_fused_channels
+
+    if out is None:
+        out = {}
+
+    @jax.jit
+    def loop(R_, p_):
+        def body(_i, carry):
+            Rc, pc, acc = carry
+            s = jnp.zeros((), Rc.dtype)
+            for fa in buckets:
+                residv, rowsC, jjtC, d36C = soa_fused_channels(
+                    fa, Rc[fa.frame], pc[fa.frame]
+                )
+                s = s + jnp.sum(residv) + 1e-30 * (
+                    jnp.sum(jnp.abs(rowsC)) + jnp.sum(jnp.abs(jjtC))
+                    + jnp.sum(jnp.abs(d36C))
+                )
+            eps = s * jnp.asarray(1e-30, Rc.dtype)
+            return (Rc + eps, pc + eps, acc + s)
+
+        _, _, acc = jax.lax.fori_loop(
+            0, reps, body, (R_, p_, jnp.zeros((), R_.dtype)))
+        return acc
+
+    np.asarray(loop(R, p))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(loop(R, p))
+        ts.append(time.perf_counter() - t0)
+    out["soa_kernel_only_ms"] = round(min(ts) / reps * 1e3, 2)
+    print(json.dumps(out), flush=True)
+
+
 def lm_ms_per_iter(buckets, R, p, gather, iters=4):
     res = lm_damping_iter(buckets, R, p, max_iters=iters, gather_tables=gather)
     np.asarray(res.R)
@@ -201,16 +239,44 @@ def main():
         print(json.dumps(out), flush=True)
 
     eval_variant("onehot", None)
+    # fused SoA Pallas kernel (LVBA_SOA_KERNEL) — the round-3 attack on the
+    # ~15 ms of XLA fusion-launch overhead in the one-hot eval; measured
+    # here chip-side for the first time (VERDICT r4 item 1)
+    eval_variant("soa", None, env={"LVBA_SOA_KERNEL": "pallas"})
+    eval_variant("soa_gramhigh", None, env={
+        "LVBA_SOA_KERNEL": "pallas", "LVBA_GRAM_PRECISION": "high"})
+    eval_variant("onehot_gramhigh", None, env={
+        "LVBA_GRAM_PRECISION": "high"})
     stage_probe(buckets, R, p, W, out)
+    kernel_only_ms(buckets, R, p, out)
     eval_variant("gather60", invs60)
     eval_variant("plan", plans)
     eval_variant("plan_syrk", plans, env={"LVBA_GRAM_KERNEL": "pallas"})
 
-    for name, gather in (("onehot", False), ("plan", True)):
-        _clear_lm_cache()
-        ms, resid = lm_ms_per_iter(buckets, R, p, gather)
+    from global_lvba_tpu.models.synthetic import ate_rmse
+
+    for name, gather, env in (
+        ("onehot", False, {}),
+        ("soa", False, {"LVBA_SOA_KERNEL": "pallas"}),
+        ("soa_gramhigh", False, {"LVBA_SOA_KERNEL": "pallas",
+                                 "LVBA_GRAM_PRECISION": "high"}),
+        ("plan", True, {}),
+    ):
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            _clear_lm_cache()
+            ms, resid = lm_ms_per_iter(buckets, R, p, gather)
+            res_ate = lm_damping_iter(buckets, R, p, max_iters=10,
+                                      gather_tables=gather)
+            ate = ate_rmse(np.asarray(res_ate.p, np.float64), scene.p_true)
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None) if v is None else os.environ.update(
+                    {k: v})
         out[f"lm_ms_per_iter_{name}"] = round(ms, 2)
         out[f"lm_resid_{name}"] = resid
+        out[f"lm_ate_{name}"] = round(float(ate), 6)
         print(json.dumps(out), flush=True)
 
     # block-banded Gram at W=512 (auto engages only at >= 4x flop savings;
