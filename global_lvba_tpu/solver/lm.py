@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
     PlaneFactorArrays,
+    add_block_diag,
     banded_cgh,
     build_banded_groups,
     build_gather_plan,
@@ -333,7 +334,7 @@ def _cgh_banded_exec(groups_all, R, p, W, g_size_f):
         r_, g_, Hd_, H_ = banded_cgh(bg, R, p, W)
         resid, g, Hd, H = resid + r_, g + g_, Hd + Hd_, H + H_
     Hq = H.reshape(W, 6, W, 6)
-    Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
+    Hq = add_block_diag(Hq, Hd, W)
     return resid / g_size_f, g.reshape(W * 6), Hq.reshape(6 * W, 6 * W)
 
 
@@ -476,7 +477,7 @@ def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
             r_, g_, Hd_, H_ = one_bucket(bg, R, p)
             resid, g, Hd, H = resid + r_, g + g_, Hd + Hd_, H + H_
         Hq = H.reshape(W, 6, W, 6)
-        Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
+        Hq = add_block_diag(Hq, Hd, W)
         return resid / g_size_f, g.reshape(W * 6), Hq.reshape(W * 6, W * 6)
 
     res1_0, g_0, H_0 = cgh(R0, p0)
