@@ -69,6 +69,23 @@ def _use_exact_bf16_dots(dt) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _sel_kernel_enabled(dt) -> bool:
+    """Pallas selection kernels (ops/pallas/selection.py): the one-hot
+    operand is generated per-tile in VMEM instead of materializing
+    (VK, W) in HBM (~810 MB at the W=512 scene).  Same exact bf16-split
+    scheme.  Default OFF by measurement (TPU v5e, W=512): the kernels
+    LOST to the XLA materialized-one-hot dots — 16.4 vs 12.9 ms/eval at
+    t=4096 tiles (17.2 at t=512); XLA evidently overlaps the one-hot
+    traffic better than the sequential-grid kernels.  LVBA_SEL_KERNEL:
+    "1" enables on TPU, "force" enables off-TPU (interpret mode, for the
+    CPU equality tests)."""
+    flag = os.environ.get("LVBA_SEL_KERNEL", "0")
+    if flag == "force":
+        return dt == jnp.float32
+    return (flag == "1" and dt == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
 def _split3_bf16(x):
     """x == x0 + x1 + x2 with every term exactly bf16-representable: three
     8-bit mantissa slices cover f32's 24 bits (values here are O(1) pose /
@@ -779,6 +796,16 @@ def _pose_channels(fa: PlaneFactorArrays, R, p, W: int):
         return R9, p3
     V, K = fa.n.shape
     tbl = jnp.concatenate([R.reshape(W, 9), p], axis=1)          # (W, 12)
+    if _sel_kernel_enabled(R.dtype):
+        from ..ops.pallas.selection import table_select
+
+        tbl3 = jnp.concatenate(_split3_bf16(tbl), axis=1)        # (W, 36)
+        g = table_select(
+            fa.frame.reshape(-1), tbl3, W,
+            interpret=jax.default_backend() != "tpu",
+        )
+        g12 = (g[:12] + g[12:24] + g[24:36]).reshape(12, V, K)
+        return tuple(g12[i] for i in range(9)), (g12[9], g12[10], g12[11])
     oh_bf = (
         fa.frame[..., None] == jnp.arange(W, dtype=fa.frame.dtype)
     ).astype(jnp.bfloat16).reshape(V * K, W)
@@ -1136,17 +1163,31 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
         Hd = jnp.sum(G[..., 24:60], axis=0).reshape(W, 6, 6)
         return resid, g, Hd, G[..., :18].reshape(V, W, 3, 6)
     if _use_exact_bf16_dots(fa_c.n.dtype):
-        # exact-selection scheme: 3 single-pass bf16 dots instead of the
-        # 6-pass HIGHEST, same f32 results (see _exact_sel_dot); g and Hd
+        # exact-selection scheme: single-pass bf16 dots over the 3-way
+        # split packing, same f32 results (see _exact_sel_dot); g and Hd
         # share one (VK, 42) operand so the one-hot streams once
+        cat42 = jnp.concatenate([jjt6, D36], axis=-1).reshape(V * K, 42)
+        if _sel_kernel_enabled(fa_c.n.dtype):
+            from ..ops.pallas.selection import entry_reduce
+
+            vals3 = jnp.concatenate(_split3_bf16(cat42), axis=1)  # (VK,126)
+            gHd3 = entry_reduce(
+                fa_c.frame.reshape(-1), vals3, W,
+                interpret=jax.default_backend() != "tpu",
+            )                                               # (W, 126)
+            gHd = gHd3[:, :42] + gHd3[:, 42:84] + gHd3[:, 84:126]
+        else:
+            oh_flat = (
+                fa_c.frame.reshape(-1)[:, None]
+                == jnp.arange(W, dtype=fa_c.frame.dtype)
+            ).astype(jnp.bfloat16)
+            gHd = _exact_sel_dot(
+                cat42, oh_flat, (((0,), (0,)), ((), ())),
+                values_left=False, pack_axis=1, out_axis=1,
+            )                                               # (W, 42)
         oh_bf = (
             fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)
         ).astype(jnp.bfloat16)
-        cat42 = jnp.concatenate([jjt6, D36], axis=-1).reshape(V * K, 42)
-        gHd = _exact_sel_dot(
-            cat42, oh_bf.reshape(V * K, W), (((0,), (0,)), ((), ())),
-            values_left=False, pack_axis=1, out_axis=1,
-        )                                                   # (W, 42)
         M = _exact_sel_dot(
             rows18, oh_bf, (((1,), (1,)), ((0,), (0,))), values_left=False,
             pack_axis=2, out_axis=2,

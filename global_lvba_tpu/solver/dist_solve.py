@@ -29,14 +29,68 @@ import jax
 import jax.numpy as jnp
 
 
+def _inv3_batched(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched 3x3 blocks via the adjugate —
+    componentwise VPU math; jnp.linalg.inv on small batched blocks lowers
+    to a serialized LAPACK-style loop on TPU."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(det == 0, 1e-30, det)
+    r0 = jnp.stack([c00, a02 * a21 - a01 * a22, a01 * a12 - a02 * a11], -1)
+    r1 = jnp.stack([c01, a00 * a22 - a02 * a20, a02 * a10 - a00 * a12], -1)
+    r2 = jnp.stack([c02, a01 * a20 - a00 * a21, a00 * a11 - a01 * a10], -1)
+    return jnp.stack([r0, r1, r2], -2) * inv_det[..., None, None]
+
+
+def inv_blocks_6x6(D: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched 6x6 blocks by 2x2-of-3x3 Schur
+    complement: two adjugate 3x3 inverses + a handful of batched 3x3
+    products.  Replaces jnp.linalg.inv for the block-Jacobi
+    preconditioners — the batched LAPACK inverse was most of the ~7.7 ms
+    FIXED cost of the W=512 damped CG solve (trip count barely moved it).
+    Valid for the damped SPD diagonal blocks this is used on (the (0,0)
+    3x3 sub-block of an SPD matrix is SPD, hence invertible)."""
+    A = D[..., :3, :3]
+    B = D[..., :3, 3:]
+    C = D[..., 3:, :3]
+    E = D[..., 3:, 3:]
+    Ai = _inv3_batched(A)
+    CAi = C @ Ai
+    S = E - CAi @ B
+    Si = _inv3_batched(S)
+    AiB = Ai @ B
+    TL = Ai + AiB @ (Si @ CAi)
+    TR = -(AiB @ Si)
+    BL = -(Si @ CAi)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _inv_blocks(D: jnp.ndarray) -> jnp.ndarray:
+    """Batched small-block inverse: closed form for 6x6, LAPACK otherwise."""
+    if D.shape[-1] == 6:
+        return inv_blocks_6x6(D)
+    return jnp.linalg.inv(D)
+
+
 def _block_jacobi_inv(A: jnp.ndarray, bsize: int) -> jnp.ndarray:
     """Inverses of the bsize x bsize diagonal blocks of A (n, n)."""
     n = A.shape[0]
     W = n // bsize
     blocks = A.reshape(W, bsize, W, bsize)
-    diag = blocks[jnp.arange(W), :, jnp.arange(W), :]        # (W, b, b)
+    # masked-sum extraction: an [arange, :, arange, :] gather serializes
+    # on TPU (same pathology as the Hd scatter, see plane_eigen.
+    # add_block_diag); the mask-multiply is one fused pass over A
+    eyeW = (jnp.arange(W)[:, None] == jnp.arange(W)[None, :]).astype(A.dtype)
+    diag = jnp.sum(blocks * eyeW[:, None, :, None], axis=2)  # (W, b, b)
     eye = jnp.eye(bsize, dtype=A.dtype)
-    return jnp.linalg.inv(diag + 1e-30 * eye)
+    return _inv_blocks(diag + 1e-30 * eye)
 
 
 def _pcg(matvec, precond, b, max_iters: int, tol: float):
@@ -113,9 +167,7 @@ def solve_damped_cg_rows(
         # solving the IDENTICAL damped system
         eps = 1e-12 * (1.0 + jnp.max(jnp.abs(d)))
         eye = jnp.eye(6, dtype=dt)
-        Minv = jnp.linalg.inv(
-            Dblk + (u * d + eps)[:, :, None] * eye
-        )
+        Minv = _inv_blocks(Dblk + (u * d + eps)[:, :, None] * eye)
 
         def matvec(x):                                # (W, 6) -> (W, 6)
             y = jnp.einsum("wab,wb->wa", Hd, x) + (u * d + eps) * x
@@ -165,7 +217,7 @@ def solve_schur_cg_mf(
         eye = jnp.eye(6, dtype=dt)
         if fix_first:
             Dblk = Dblk.at[0].set(eye)
-        Minv = jnp.linalg.inv(Dblk + 1e-30 * eye)
+        Minv = _inv_blocks(Dblk + 1e-30 * eye)
 
         def matvec(x):                                # (M, 6) -> (M, 6)
             xm = x.at[0].set(0.0) if fix_first else x

@@ -221,7 +221,11 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
     dHpp = Hpp + u * eye3 * jnp.diagonal(Hpp, axis1=-2, axis2=-1)[..., None, :]
     # guard singular landmark blocks
     dHpp = dHpp + 1e-12 * eye3
-    Hpp_inv = jnp.linalg.inv(dHpp)
+    # closed-form batched 3x3 inverse: jnp.linalg.inv on (P, 3, 3)
+    # serializes on TPU (see dist_solve._inv3_batched)
+    from .dist_solve import _inv3_batched
+
+    Hpp_inv = _inv3_batched(dHpp)
 
     W = Wb                                           # (O, 6, 3)
     Y = jnp.einsum("omn,onk->omk", W, Hpp_inv[obs_pt])  # (O, 6, 3)

@@ -94,3 +94,28 @@ def test_lm_solve_exact_dots(scene_buckets, monkeypatch):
         assert np.abs(np.asarray(res1.p) - base_p).max() / step < 5e-3
     finally:
         lm_mod._lm_jitted.clear_cache()
+
+
+def test_selection_kernels_match_xla(scene_buckets, monkeypatch):
+    """Pallas selection kernels (interpret mode on CPU) == the XLA
+    exact-split dots: pose expansion bit-exact, g/Hd to f32 accumulation
+    order."""
+    W, buckets, R, p = scene_buckets
+    monkeypatch.setenv("LVBA_EXACT_DOTS", "force")
+    for fa in buckets:
+        monkeypatch.setenv("LVBA_SEL_KERNEL", "force")
+        R9k, p3k = pe._pose_channels(fa, R, p, W)
+        rk, gk, Hdk, Mk = pe._chunk_eval_soa(fa, R, p, W)
+        monkeypatch.setenv("LVBA_SEL_KERNEL", "0")
+        R9x, p3x = pe._pose_channels(fa, R, p, W)
+        rx, gx, Hdx, Mx = pe._chunk_eval_soa(fa, R, p, W)
+        for a, b in zip(R9k + p3k, R9x + p3x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(float(rk), float(rx), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(Mk), np.asarray(Mx))
+        sg = max(float(jnp.max(jnp.abs(gx))), 1e-30)
+        np.testing.assert_allclose(np.asarray(gk) / sg, np.asarray(gx) / sg,
+                                   atol=1e-6)
+        sh = max(float(jnp.max(jnp.abs(Hdx))), 1e-30)
+        np.testing.assert_allclose(np.asarray(Hdk) / sh,
+                                   np.asarray(Hdx) / sh, atol=1e-6)
