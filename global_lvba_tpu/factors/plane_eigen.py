@@ -776,9 +776,11 @@ def _soa_split(fa: PlaneFactorArrays, Rg, pg):
     return (m1, m2, m3), P6, R9, p3
 
 
-def _pose_channels(fa: PlaneFactorArrays, R, p, W: int):
+def _pose_channels(fa: PlaneFactorArrays, R, p, W_unused: int = 0):
     """Per-entry pose component planes R9 (9 x (V, K)), p3 (3 x (V, K))
-    WITHOUT a per-entry row gather.
+    WITHOUT a per-entry row gather.  The selection table width is the POSE
+    COUNT R.shape[0] — NOT the Hessian width (the banded path evaluates
+    groups at local width with full-width poses and global frame ids).
 
     R[fa.frame] row-gathers serialize on TPU: at the representative W=512
     scene (790k entries) the two pose gathers alone measured 14.0 ms of
@@ -795,20 +797,21 @@ def _pose_channels(fa: PlaneFactorArrays, R, p, W: int):
         _, _, R9, p3 = _soa_split(fa, Rg, pg)
         return R9, p3
     V, K = fa.n.shape
-    tbl = jnp.concatenate([R.reshape(W, 9), p], axis=1)          # (W, 12)
+    Wp = R.shape[0]
+    tbl = jnp.concatenate([R.reshape(Wp, 9), p], axis=1)         # (Wp, 12)
     if _sel_kernel_enabled(R.dtype):
         from ..ops.pallas.selection import table_select
 
-        tbl3 = jnp.concatenate(_split3_bf16(tbl), axis=1)        # (W, 36)
+        tbl3 = jnp.concatenate(_split3_bf16(tbl), axis=1)        # (Wp, 36)
         g = table_select(
-            fa.frame.reshape(-1), tbl3, W,
+            fa.frame.reshape(-1), tbl3, Wp,
             interpret=jax.default_backend() != "tpu",
         )
         g12 = (g[:12] + g[12:24] + g[24:36]).reshape(12, V, K)
         return tuple(g12[i] for i in range(9)), (g12[9], g12[10], g12[11])
     oh_bf = (
-        fa.frame[..., None] == jnp.arange(W, dtype=fa.frame.dtype)
-    ).astype(jnp.bfloat16).reshape(V * K, W)
+        fa.frame[..., None] == jnp.arange(Wp, dtype=fa.frame.dtype)
+    ).astype(jnp.bfloat16).reshape(V * K, Wp)
     g12 = _exact_sel_dot(
         tbl, oh_bf, (((0,), (1,)), ((), ())), values_left=True,
         pack_axis=1, out_axis=0,
@@ -1097,7 +1100,7 @@ def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
     P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
           fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
-    R9, p3 = _pose_channels(fa, R, p, W)
+    R9, p3 = _pose_channels(fa, R, p)
     mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     residv, u, B1, B2 = _soa_eig(cov6, N)
     rows_ch, jjt_ch, d36_ch = _soa_chain(
@@ -1228,7 +1231,7 @@ def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp
     mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
     P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
           fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
-    R9, p3 = _pose_channels(fa, R, p, R.shape[0])
+    R9, p3 = _pose_channels(fa, R, p)
     _, _, N, invN, _, _, _, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     lam0, _, _ = eigvals3_soa(*cov6)
     return jnp.sum(jnp.where(N > 0, lam0, 0.0))

@@ -23,7 +23,7 @@ solve on one chip is cheaper than ~sqrt(kappa) sharded matvecs.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -227,6 +227,119 @@ def solve_schur_cg_mf(
             y = jnp.einsum("mab,mb->ma", dHcc, xm) - jax.ops.segment_sum(
                 yo, obs_cam, num_segments=M
             )
+            if fix_first:
+                y = y.at[0].set(x[0])
+            return y
+
+        def precond(r):
+            return jnp.einsum("wab,wb->wa", Minv, r)
+
+        return _pcg(matvec, precond, b, max_iters, tol)
+
+
+class PMTier(NamedTuple):
+    """One point-major tier: points whose track length fits K, padded.
+    idx: (Pv, K) int32 into the FLAT observation arrays (pad -> O, a
+    virtual all-zero row); cam: (Pv, K) int32 camera id (pad -> M, whose
+    one-hot column is all-zero)."""
+
+    idx: jnp.ndarray
+    cam: jnp.ndarray
+
+
+def _sel_pack3(vals: jnp.ndarray) -> jnp.ndarray:
+    """3-way bf16 mantissa split packed along the channel axis (exact f32
+    selection scheme — see factors/plane_eigen._split3_bf16).  f64 (CPU
+    parity runs) passes through unsplit — the f64 dot is already exact."""
+    if vals.dtype != jnp.float32:
+        return vals
+    from ..factors.plane_eigen import _split3_bf16
+
+    return jnp.concatenate(_split3_bf16(vals), axis=-1)
+
+
+def _sel_unpack3(d: jnp.ndarray, C: int) -> jnp.ndarray:
+    if d.shape[-1] == C:
+        return d
+    return d[..., :C] + d[..., C:2 * C] + d[..., 2 * C:3 * C]
+
+
+def solve_schur_cg_pm(
+    dHcc: jnp.ndarray,
+    W: jnp.ndarray,
+    Y: jnp.ndarray,
+    tiers,
+    b: jnp.ndarray,
+    fix_first: bool = True,
+    max_iters: int = 96,
+    tol: float = 1e-10,
+) -> jnp.ndarray:
+    """POINT-MAJOR matrix-free reduced-camera solve.
+
+    Same system as solve_schur_cg_mf, but the matvec is restructured the
+    way the LiDAR factor core was (round 4): per-observation gathers and
+    segment_sums SERIALIZE on TPU (x[obs_cam], segment_sum(., obs_pt) —
+    four O-length scatter/gathers per matvec put the M=1000/O=200k bench
+    at ~1.1 s/iter), so observations are repacked once per solve into
+    padded (Pv, K) point-major tiers where
+
+      * the point-side reduce/broadcast is a plain K-axis sum/broadcast
+        (points never leave tier order — they are internal to S);
+      * the camera-side expand/reduce are EXACT bf16-split selection
+        matmuls against the tier's (Pv*K, M) one-hot, which is
+        loop-invariant and streams from HBM instead of serializing.
+
+    W/Y stay in flat obs order; each tier row-gathers them ONCE per call
+    (outside the CG loop).  Padded slots carry zero W/Y rows and an
+    out-of-range cam id, so they contribute exactly nothing."""
+    M = dHcc.shape[0]
+    dt = dHcc.dtype
+    with jax.default_matmul_precision("highest"):
+        zrow = jnp.zeros((1,) + W.shape[1:], dt)
+        Wp = jnp.concatenate([W, zrow])
+        Yp = jnp.concatenate([Y, zrow])
+        eye = jnp.eye(6, dtype=dt)
+        cross = jnp.zeros((M, 6, 6), dt)
+        tdat = []
+        for t in tiers:
+            Wt = Wp[t.idx]                               # (Pv, K, 6, 3)
+            Yt = Yp[t.idx]
+            Pv, K = t.idx.shape
+            oh = (
+                t.cam[..., None] == jnp.arange(M, dtype=t.cam.dtype)
+            ).astype(jnp.bfloat16 if dt == jnp.float32 else dt
+                     ).reshape(Pv * K, M)
+            tdat.append((Wt, Yt, oh, Pv, K))
+            yw = jnp.einsum("pkac,pkbc->pkab", Yt, Wt)   # Y W^T (6, 6)
+            d = jax.lax.dot_general(
+                oh, _sel_pack3(yw.reshape(Pv * K, 36)),
+                (((0,), (0,)), ((), ())), preferred_element_type=dt,
+            )
+            cross = cross + _sel_unpack3(d, 36).reshape(M, 6, 6)
+        Dblk = dHcc - cross
+        if fix_first:
+            Dblk = Dblk.at[0].set(eye)
+        Minv = _inv_blocks(Dblk + 1e-30 * eye)
+
+        def matvec(x):                                   # (M, 6) -> (M, 6)
+            xm = x.at[0].set(0.0) if fix_first else x
+            y = jnp.einsum("mab,mb->ma", dHcc, xm)
+            xs3 = _sel_pack3(xm)                         # (M, 18) bf16
+            for Wt, Yt, oh, Pv, K in tdat:
+                xe = _sel_unpack3(
+                    jax.lax.dot_general(
+                        oh, xs3, (((1,), (0,)), ((), ())),
+                        preferred_element_type=dt,
+                    ), 6,
+                ).reshape(Pv, K, 6)                      # x at each obs
+                wx = jnp.einsum("pkmn,pkm->pkn", Wt, xe)  # (Pv, K, 3)
+                tp = jnp.sum(wx, axis=1)                 # (Pv, 3) = point
+                yo = jnp.einsum("pkmn,pn->pkm", Yt, tp)  # (Pv, K, 6)
+                d = jax.lax.dot_general(
+                    oh, _sel_pack3(yo.reshape(Pv * K, 6)),
+                    (((0,), (0,)), ((), ())), preferred_element_type=dt,
+                )
+                y = y - _sel_unpack3(d, 6)
             if fix_first:
                 y = y.at[0].set(x[0])
             return y

@@ -74,6 +74,36 @@ class VisualBAResult(NamedTuple):
     cost: float
 
 
+def _point_major_tiers(obs_cam: np.ndarray, obs_pt: np.ndarray,
+                       num_pts: int, num_cams: int):
+    """Host-built point-major tiers for the cg_pm matvec
+    (dist_solve.solve_schur_cg_pm): points grouped by pow2 track-length
+    class, each tier a padded (Pv, K) table of flat-observation indices
+    (pad -> O) and camera ids (pad -> M).  Static per problem."""
+    from .dist_solve import PMTier
+
+    O = obs_pt.shape[0]
+    order = np.argsort(obs_pt, kind="stable")
+    spt = obs_pt[order]
+    starts = np.flatnonzero(np.concatenate([[True], spt[1:] != spt[:-1]]))
+    counts = np.diff(np.append(starts, O))
+    tiers = []
+    kclass = np.maximum(4, 1 << np.ceil(np.log2(np.maximum(counts, 1))
+                                        ).astype(np.int64))
+    for K in np.unique(kclass):
+        sel = np.flatnonzero(kclass == K)
+        Pv = sel.shape[0]
+        idx = np.full((Pv, int(K)), O, np.int32)
+        cam = np.full((Pv, int(K)), num_cams, np.int32)
+        for r, s in enumerate(sel):
+            c = counts[s]
+            rows = order[starts[s]:starts[s] + c]
+            idx[r, :c] = rows
+            cam[r, :c] = obs_cam[rows]
+        tiers.append(PMTier(idx=jnp.asarray(idx), cam=jnp.asarray(cam)))
+    return tuple(tiers)
+
+
 def _build_pairs(obs_pt: np.ndarray, num_pts: int):
     """All ordered observation pairs sharing a point (host, static)."""
     order = np.argsort(obs_pt, kind="stable")
@@ -180,26 +210,28 @@ def _linearize_inner(prob: VisualBAProblem, consts, R, t, X) -> _LinCache:
 
 
 def _normal_eq(prob: VisualBAProblem, consts, pair_a, pair_b, R, t, X, u,
-               s_sharding=None, pairs_sharded=False):
+               s_sharding=None, pairs_sharded=False, tiers=()):
     """One damped normal-equation build + solve. Returns (dc, dX, q1)."""
     cache = _linearize(prob, consts, R, t, X)
     return _solve_cached(prob, consts, pair_a, pair_b, cache, u,
-                         s_sharding, pairs_sharded)
+                         s_sharding, pairs_sharded, tiers)
 
 
 def _solve_cached(prob: VisualBAProblem, consts, pair_a, pair_b,
-                  cache: _LinCache, u, s_sharding=None, pairs_sharded=False):
+                  cache: _LinCache, u, s_sharding=None, pairs_sharded=False,
+                  tiers=()):
     """Damped assemble + Schur solve from a cached linearization.
 
     Everything here depends on the damping u, so it re-runs on rejected
     steps — but the Jacobian evaluation (in _linearize) does not."""
     with jax.default_matmul_precision("highest"):
         return _solve_cached_inner(prob, consts, pair_a, pair_b, cache, u,
-                                   s_sharding, pairs_sharded)
+                                   s_sharding, pairs_sharded, tiers)
 
 
 def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
-                        cache: _LinCache, u, s_sharding, pairs_sharded):
+                        cache: _LinCache, u, s_sharding, pairs_sharded,
+                        tiers=()):
     cam, obs_cam, obs_pt, obs_uv, obs_w, n_all, d_all = consts
     M, P = prob.num_cams, prob.num_pts
     g_c, g_p, Hcc, Hpp, Wb, _ = cache
@@ -242,12 +274,20 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
         # matrix-free reduced camera system (Ceres ITERATIVE_SCHUR
         # analogue): S x applies per OBSERVATION — the O(Σ track_len²)
         # pair list is never built and no (6M)² matrix is formed
-        from .dist_solve import solve_schur_cg_mf
+        from .dist_solve import solve_schur_cg_mf, solve_schur_cg_pm
 
         bb = b.at[0].set(0.0) if prob.fix_first else b
-        dc = solve_schur_cg_mf(
-            dHcc, W, Y, obs_cam, obs_pt, bb, P, fix_first=prob.fix_first
-        )
+        if tiers:
+            # point-major matvec: no per-observation gathers/scatters
+            # inside the CG loop (they serialize on TPU — the M=1000
+            # bench sat at ~1.1 s/iter on them; see solve_schur_cg_pm)
+            dc = solve_schur_cg_pm(
+                dHcc, W, Y, tiers, bb, fix_first=prob.fix_first
+            )
+        else:
+            dc = solve_schur_cg_mf(
+                dHcc, W, Y, obs_cam, obs_pt, bb, P, fix_first=prob.fix_first
+            )
         return _backsub(prob, cache, consts, Hpp_inv, W, dc, u)
 
     # Schur matrix: diag Hcc − Σ_pairs Y_a W_bᵀ
@@ -345,8 +385,8 @@ def _backsub(prob, cache: _LinCache, consts, Hpp_inv, W, dc, u):
     return dc, dX, q1
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9, 10, 11))
-def _lm_device_loop(pstat, consts, pa, pb, R0_, t0_, X0_,
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12))
+def _lm_device_loop(pstat, consts, pa, pb, tiers, R0_, t0_, X0_,
                     max_iters, u_init, rel_tol, s_sharding, pairs_sharded):
     """The whole LM as one fixed-trip jitted loop with done-masking.
 
@@ -365,7 +405,7 @@ def _lm_device_loop(pstat, consts, pa, pb, R0_, t0_, X0_,
         R_, t_, X_, cache_, u_, v_, it_, done_ = s
         dc, dX, q1 = _solve_cached(pstat, consts, pa, pb, cache_, u_,
                                    s_sharding=s_sharding,
-                                   pairs_sharded=pairs_sharded)
+                                   pairs_sharded=pairs_sharded, tiers=tiers)
         R_t = jnp.matmul(
             R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
         )
@@ -444,10 +484,17 @@ def solve_visual_ba(
             Q=int((counts ** 2).sum()),
         )
         prob = dataclasses.replace(prob, reduced_solver=resolved)
+    tiers = ()
     if resolved == "cg_mf":
         # matrix-free reduced solve: the O(Σ track_len²) pair list is
         # never needed (host memory included)
         pair_a = pair_b = np.zeros(0, np.int32)
+        if mesh is None:
+            tiers = _point_major_tiers(
+                np.asarray(prob.obs_cam, np.int32),
+                np.asarray(prob.obs_pt, np.int32),
+                prob.num_pts, prob.num_cams,
+            )
     else:
         pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
     obs_cam = np.asarray(prob.obs_cam, np.int32)
@@ -507,7 +554,7 @@ def solve_visual_ba(
 
     if device_loop and not verbose:
         R_f, t_f, X_f, c0_j, c_f, it_j = _lm_device_loop(
-            _pstat(prob), consts, pa, pb, R, t, X,
+            _pstat(prob), consts, pa, pb, tiers, R, t, X,
             int(max_iters), float(u_init), float(rel_tol),
             s_sharding, mesh is not None,
         )
@@ -518,7 +565,8 @@ def solve_visual_ba(
 
     lin = jax.jit(partial(_linearize, prob, consts))
     step = jax.jit(partial(_solve_cached, prob, consts, pa, pb,
-                           s_sharding=s_sharding, pairs_sharded=mesh is not None))
+                           s_sharding=s_sharding,
+                           pairs_sharded=mesh is not None, tiers=tiers))
     cache = lin(R, t, X)
     c_prev = float(cache.cost)
     c0 = c_prev

@@ -249,3 +249,35 @@ class TestUnobservedCameras:
                 np.asarray(res.R)[-2:], R0[-2:], rtol=0, atol=1e-8,
                 err_msg=solver,
             )
+
+
+def test_point_major_matvec_matches_mf():
+    """solve_schur_cg_pm (point-major tiers, selection-dot matvec) must
+    solve the same reduced system as solve_schur_cg_mf (per-observation
+    gathers) — same dc to solver round-off."""
+    import jax.numpy as jnp
+
+    from global_lvba_tpu.solver.dist_solve import (
+        solve_schur_cg_mf, solve_schur_cg_pm,
+    )
+    from global_lvba_tpu.solver.schur import _point_major_tiers
+
+    rng = np.random.default_rng(3)
+    M, P, O = 12, 40, 200
+    obs_cam = rng.integers(0, M, size=O).astype(np.int32)
+    obs_pt = rng.integers(0, P, size=O).astype(np.int32)
+    dHcc = rng.normal(size=(M, 6, 6))
+    dHcc = dHcc @ np.swapaxes(dHcc, -1, -2) + 8.0 * np.eye(6)
+    # Y = W makes S = dHcc - sum couplings symmetric positive definite
+    # (CG requires it; random independent Y/W would not be a valid system)
+    W = rng.normal(size=(O, 6, 3)) * 0.2
+    Y = W.copy()
+    b = rng.normal(size=(M, 6))
+    b[0] = 0.0
+    tiers = _point_major_tiers(obs_cam, obs_pt, P, M)
+    args = (jnp.asarray(dHcc), jnp.asarray(W), jnp.asarray(Y))
+    dc_mf = np.asarray(solve_schur_cg_mf(
+        *args, jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(b), P,
+    ))
+    dc_pm = np.asarray(solve_schur_cg_pm(*args, tiers, jnp.asarray(b)))
+    np.testing.assert_allclose(dc_pm, dc_mf, rtol=1e-6, atol=1e-9)
