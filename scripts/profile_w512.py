@@ -238,15 +238,16 @@ def main():
         out[f"eval_gflop_{name}"] = round(flops / 1e9, 1)
         print(json.dumps(out), flush=True)
 
-    eval_variant("onehot", None)
-    # fused SoA Pallas kernel (LVBA_SOA_KERNEL) — the round-3 attack on the
-    # ~15 ms of XLA fusion-launch overhead in the one-hot eval; measured
-    # here chip-side for the first time (VERDICT r4 item 1)
+    # round-4 default: exact bf16-split selection dots + MXU pose
+    # expansion + Gram HIGH (measured winners; see STATUS.md)
+    eval_variant("default", None)
+    eval_variant("exact0", None, env={"LVBA_EXACT_DOTS": "0"})
+    eval_variant("exact0_gramhighest", None, env={
+        "LVBA_EXACT_DOTS": "0", "LVBA_GRAM_PRECISION": "highest"})
+    eval_variant("gram_highest", None, env={
+        "LVBA_GRAM_PRECISION": "highest"})
+    eval_variant("selkernel", None, env={"LVBA_SEL_KERNEL": "1"})
     eval_variant("soa", None, env={"LVBA_SOA_KERNEL": "pallas"})
-    eval_variant("soa_gramhigh", None, env={
-        "LVBA_SOA_KERNEL": "pallas", "LVBA_GRAM_PRECISION": "high"})
-    eval_variant("onehot_gramhigh", None, env={
-        "LVBA_GRAM_PRECISION": "high"})
     stage_probe(buckets, R, p, W, out)
     kernel_only_ms(buckets, R, p, out)
     eval_variant("gather60", invs60)
@@ -256,10 +257,9 @@ def main():
     from global_lvba_tpu.models.synthetic import ate_rmse
 
     for name, gather, env in (
-        ("onehot", False, {}),
-        ("soa", False, {"LVBA_SOA_KERNEL": "pallas"}),
-        ("soa_gramhigh", False, {"LVBA_SOA_KERNEL": "pallas",
-                                 "LVBA_GRAM_PRECISION": "high"}),
+        ("default", False, {}),
+        ("exact0", False, {"LVBA_EXACT_DOTS": "0"}),
+        ("selkernel", False, {"LVBA_SEL_KERNEL": "1"}),
         ("plan", True, {}),
     ):
         saved = {k: os.environ.get(k) for k in env}

@@ -15,7 +15,11 @@ run() {
   echo "=== $name rc=$? ($(date))" | tee -a "$OUT/session.log"
 }
 
-# 1. the round artifact first — bench measures one-hot AND gather paths
+# 0. chip-side kernel/parity regression first (cheap insurance: a Mosaic
+#    lowering failure or VMEM overflow must surface before the sweeps)
+STEP_TIMEOUT=900 run kernel_parity python scripts/kernel_parity_tpu.py
+
+# 1. the round artifact — bench measures the default AND gather paths
 #    itself, so even a short tunnel window captures the decisive numbers
 run bench python bench.py
 
