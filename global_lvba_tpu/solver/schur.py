@@ -349,15 +349,20 @@ def _solve_cached_inner(prob: VisualBAProblem, consts, pair_a, pair_b,
 
 
 def _auto_solver(M: int, pairs_sharded: bool, Q: int = 0) -> str:
-    """auto policy.  The matrix-free path wins when the observation-pair
-    count Q = Σ track_len² explodes (long tracks): its per-matvec work is
-    O(O) regardless of Q, while the pair-scatter assembly is O(Q) per LM
-    iteration (measured, M = 200 / O within 20-40k: at Q = 200k the pair
-    path wins 2.7x — 48.8 vs 129.6 ms/iter — because the fixed-trip CG
-    always executes its 256 matvecs; at Q = 2M the matrix-free path wins
-    1.57x — 239 vs 375 ms/iter — identical convergence).  Otherwise: CG
-    once 6M >= 1024 (TPU LU lowers poorly at size), LU below."""
-    if Q > (1 << 20) and not pairs_sharded:
+    """auto policy (re-measured round 4, TPU v5e, after the point-major
+    matvec landed).  Single-device "cg_mf" now routes through
+    solve_schur_cg_pm — no per-observation gathers/scatters in the CG
+    loop — and wins broadly:
+
+      M=200 / 20k obs / Q=200k: pm 24.8 vs cg 49.2 vs lu 52.2 ms/iter
+      M=1000 / 200k obs / Q=2M: pm 175.7 vs old mf 1148.8 ms/iter
+
+    (identical converged costs).  The earlier round-2 crossover numbers
+    (pair path 2.7x at Q=200k) were against the OLD per-observation
+    matvec.  LU stays for small problems (6M < 1024) where a direct
+    solve's exactness is free; the mesh path keeps the pair-scatter /
+    assembled-CG formulations (the pm one-hots are replicated arrays)."""
+    if not pairs_sharded and (Q > (1 << 20) or M * 6 >= 1024):
         return "cg_mf"
     if M * 6 >= 1024:
         return "cg"
@@ -479,11 +484,19 @@ def solve_visual_ba(
         counts = np.bincount(
             np.asarray(prob.obs_pt), minlength=prob.num_pts
         ).astype(np.int64)
+        Q = int((counts ** 2).sum())
         resolved = _auto_solver(
-            prob.num_cams, pairs_sharded=mesh is not None,
-            Q=int((counts ** 2).sum()),
+            prob.num_cams, pairs_sharded=mesh is not None, Q=Q,
         )
         prob = dataclasses.replace(prob, reduced_solver=resolved)
+        import logging
+
+        logging.getLogger("global_lvba_tpu.solver").info(
+            "[visualBA] auto solver=%s M=%d P=%d O=%d Q=%d maxlen=%d",
+            resolved, prob.num_cams, prob.num_pts,
+            int(np.asarray(prob.obs_pt).shape[0]), Q,
+            int(counts.max()) if counts.size else 0,
+        )
     tiers = ()
     if resolved == "cg_mf":
         # matrix-free reduced solve: the O(Σ track_len²) pair list is
