@@ -633,6 +633,71 @@ def banded_scan(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
     return resid, g, Hd, H
 
 
+def banded_scan_grams(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
+    """Like banded_scan but WITHOUT materializing the dense (6W)² cross
+    Hessian: returns (resid, g (W,6), Hd (W,6,6), grams (G, 6w, 6w)).
+
+    The dense H at W = 4096 is a 2.4 GB buffer whose compile the tunnel's
+    service rejects (measured: the banded eval executable is the one that
+    500s, scripts/probe_w4096.py); the group Grams total
+    G·(6w)² ≈ (2B/W)·(6W)² — a 4096-pose corridor fits in ~600 MB and the
+    CG consumes them directly (dist_solve.solve_damped_cg_banded)."""
+    dt = R.dtype
+    width = inv_s.shape[-1]
+
+    def body(carry, inp):
+        resid_a, g_a, Hd_a = carry
+        fa_g, inv_g, off = inp
+        r_, g_l, Hd_l, M = _chunk_eval_soa(fa_g, R, p, width, inv_g)
+        gram = jax.lax.dot_general(
+            M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=dt,
+            precision=_gram_precision(),
+        ).reshape(6 * width, 6 * width)
+        z = jnp.zeros((), off.dtype)
+        gw = jax.lax.dynamic_slice(g_a, (off, z), (width, 6))
+        g_a = jax.lax.dynamic_update_slice(g_a, gw + g_l, (off, z))
+        hw = jax.lax.dynamic_slice(Hd_a, (off, z, z), (width, 6, 6))
+        Hd_a = jax.lax.dynamic_update_slice(Hd_a, hw + Hd_l, (off, z, z))
+        return (resid_a + r_, g_a, Hd_a), gram
+
+    zvar = (fa_s.n.ravel()[0] * 0).astype(dt)
+    init = (
+        zvar,
+        jnp.zeros((W, 6), dt) + zvar,
+        jnp.zeros((W, 6, 6), dt) + zvar,
+    )
+    (resid, g, Hd), grams = jax.lax.scan(body, init, (fa_s, inv_s, offset_s))
+    return resid, g, Hd, grams
+
+
+def banded_straggler_rows(bg: BandedGroups, R, p, W: int):
+    """Straggler contribution in COMPACT form: (resid, g (W,6),
+    Hd (W,6,6), M (Vw, W, 3, 6)) — the caller's matvec applies -MᵀM
+    directly (Vw is small by construction, <1% of voxels)."""
+    if bg.wide_fa.n.shape[0] == 0:
+        dt = R.dtype
+        zvar = (bg.fa.n.ravel()[0] * 0).astype(dt)
+        return (
+            zvar, jnp.zeros((W, 6), dt) + zvar,
+            jnp.zeros((W, 6, 6), dt) + zvar,
+            jnp.zeros((0, W, 3, 6), dt),
+        )
+    r, g, Hd, M = _chunk_eval_soa(bg.wide_fa, R, p, W, bg.wide_inv)
+    return r, g, Hd, M
+
+
+def banded_cgh_compact(bg: BandedGroups, R, p, W: int):
+    """Full compact banded evaluation of one bucket -> (resid, g, Hd,
+    grams (G, 6w, 6w), wide_M (Vw, W, 3, 6)).  Same math as banded_cgh
+    with H = scatter(grams by bg.offset) - wide_Mᵀ wide_M + diag(Hd)."""
+    r0, g0, Hd0, grams = banded_scan_grams(
+        bg.fa, bg.inv, bg.offset, R, p, W
+    )
+    r1, g1, Hd1, wM = banded_straggler_rows(bg, R, p, W)
+    return r0 + r1, g0 + g1, Hd0 + Hd1, grams, wM
+
+
 def banded_straggler_cgh(bg: BandedGroups, R, p, W: int):
     """Full-width gather evaluation of the straggler group (voxels whose
     observer span exceeds two blocks); zero-shaped when there are none."""

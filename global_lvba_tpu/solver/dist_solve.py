@@ -350,6 +350,86 @@ def solve_schur_cg_pm(
         return _pcg(matvec, precond, b, max_iters, tol)
 
 
+def solve_damped_cg_banded(
+    grams_list,
+    wide_list,
+    offsets_list,
+    Hd: jnp.ndarray,
+    g: jnp.ndarray,
+    u: jnp.ndarray,
+    max_iters: int = 96,
+    tol: float = 1e-10,
+):
+    """Damped CG on the BANDED Hessian representation — the (6W)² matrix
+    is never materialized (its 2.4 GB buffer at W = 4096 is what the
+    remote-compile service rejects; scripts/probe_w4096.py).
+
+    H = diag(Hd) - Σ_buckets [ scatter(grams by offset) + wide_Mᵀ wide_M ]
+    applied directly: per group, a static window slice of x, one batched
+    (G, 6w, 6w) matmul, static window adds back; stragglers apply through
+    their (Vw, W, 3, 6) factor rows.  offsets_list: per-bucket TUPLES of
+    python ints (the split LM is host-driven, so offsets are concrete) —
+    static slices compile to fixed ranges instead of serialized gathers.
+
+    Returns (dx (6W,), d (6W,)) with d = diag(H) (LM gain ratio)."""
+    W = Hd.shape[0]
+    dt = Hd.dtype
+    with jax.default_matmul_precision("highest"):
+        # true diagonal 6x6 blocks for damping + preconditioner
+        Dblk = Hd
+        for grams, wM, offs in zip(grams_list, wide_list, offsets_list):
+            G = grams.shape[0]
+            width = grams.shape[1] // 6
+            gb = grams.reshape(G, width, 6, width, 6)
+            eyew = (jnp.arange(width)[:, None]
+                    == jnp.arange(width)[None, :]).astype(dt)
+            ldiag = jnp.sum(gb * eyew[None, :, None, :, None], axis=3)
+            add = jnp.zeros((W, 6, 6), dt)
+            for i, o in enumerate(offs):
+                add = jax.lax.dynamic_update_slice(
+                    add,
+                    jax.lax.dynamic_slice(
+                        add, (o, 0, 0), (width, 6, 6)) + ldiag[i],
+                    (o, 0, 0),
+                )
+            Dblk = Dblk - add
+            if wM.shape[0]:
+                Dblk = Dblk - jnp.einsum("vwrc,vwrd->wcd", wM, wM)
+        d = jnp.diagonal(Dblk, axis1=1, axis2=2)          # (W, 6)
+        eps = 1e-12 * (1.0 + jnp.max(jnp.abs(d)))
+        eye = jnp.eye(6, dtype=dt)
+        Minv = _inv_blocks(Dblk + (u * d + eps)[:, :, None] * eye)
+
+        def matvec(x):                                    # (W, 6)
+            y = jnp.einsum("wab,wb->wa", Hd, x) + (u * d + eps) * x
+            for grams, wM, offs in zip(grams_list, wide_list, offsets_list):
+                G = grams.shape[0]
+                width = grams.shape[1] // 6
+                win = jnp.stack(
+                    [jax.lax.dynamic_slice(x, (o, 0), (width, 6))
+                     for o in offs]
+                ).reshape(G, width * 6)
+                yg = jnp.einsum("gab,gb->ga", grams, win).reshape(
+                    G, width, 6)
+                for i, o in enumerate(offs):
+                    y = jax.lax.dynamic_update_slice(
+                        y,
+                        jax.lax.dynamic_slice(y, (o, 0), (width, 6))
+                        - yg[i],
+                        (o, 0),
+                    )
+                if wM.shape[0]:
+                    s = jnp.einsum("vwrc,wc->vr", wM, x)
+                    y = y - jnp.einsum("vwrc,vr->wc", wM, s)
+            return y
+
+        def precond(r):
+            return jnp.einsum("wab,wb->wa", Minv, r)
+
+        x = _pcg(matvec, precond, -g, max_iters, tol)
+        return x.reshape(-1), d.reshape(-1)
+
+
 def solve_damped_cg(
     H: jnp.ndarray,
     g: jnp.ndarray,

@@ -338,6 +338,35 @@ def _cgh_banded_exec(groups_all, R, p, W, g_size_f):
     return resid / g_size_f, g.reshape(W * 6), Hq.reshape(6 * W, 6 * W)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _cgh_banded_compact_exec(groups_all, R, p, W, g_size_f):
+    """Banded evaluation WITHOUT the dense (6W)² H: (resid, g (W,6),
+    Hd (W,6,6), per-bucket grams, per-bucket straggler M).  The compile
+    of the dense-H banded eval is what the tunnel's remote service
+    rejects at W = 4096 (probe_w4096.py)."""
+    from ..factors.plane_eigen import banded_cgh_compact
+
+    resid = jnp.zeros((), R.dtype)
+    g = jnp.zeros((W, 6), R.dtype)
+    Hd = jnp.zeros((W, 6, 6), R.dtype)
+    grams, wides = [], []
+    for bg in groups_all:
+        r_, g_, Hd_, gr, wM = banded_cgh_compact(bg, R, p, W)
+        resid, g, Hd = resid + r_, g + g_, Hd + Hd_
+        grams.append(gr)
+        wides.append(wM)
+    return resid / g_size_f, g, Hd, tuple(grams), tuple(wides)
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _solve_banded_exec(grams, wides, Hd, g2, u, g_size_f, offsets):
+    from .dist_solve import solve_damped_cg_banded
+
+    dx, d = solve_damped_cg_banded(grams, wides, offsets, Hd, g2, u)
+    q1 = 0.5 * jnp.dot(dx, u * d * dx - g2.reshape(-1)) / g_size_f
+    return dx, q1
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _solve_exec(H, g, u, g_size_f, solver):
     if solver == "cg":
@@ -408,22 +437,43 @@ def lm_damping_iter_split(
     g_size_f = jnp.asarray(float(max(g_size, 1)), R0.dtype)
 
     if use_banded:
-        cgh = lambda R, p: _cgh_banded_exec(
-            tuple(groups_all), R, p, W, g_size_f)
+        # compact representation: the dense-H banded eval is the program
+        # the remote-compile service rejects at W >= 4096 (probe_w4096.py)
+        import numpy as np
+
+        offsets = tuple(
+            tuple(int(o) for o in np.asarray(bg.offset)) for bg in groups_all
+        )
+
+        def cgh(R, p):
+            return _cgh_banded_compact_exec(
+                tuple(groups_all), R, p, W, g_size_f)
+
+        def solve(state, u):
+            _, g2, Hd, grams, wides = state
+            return _solve_banded_exec(
+                grams, wides, Hd, g2, jnp.asarray(u, R0.dtype), g_size_f,
+                offsets,
+            )
     else:
-        cgh = lambda R, p: _cgh_dense_exec(tuple(buckets), R, p, W, g_size_f)
+        def cgh(R, p):
+            return _cgh_dense_exec(tuple(buckets), R, p, W, g_size_f)
+
+        def solve(state, u):
+            _, g1, H = state
+            return _solve_exec(H, g1, jnp.asarray(u, R0.dtype), g_size_f,
+                               solver)
 
     R, p = R0, p0
-    res1_d, g, H = cgh(R, p)
-    res1 = float(res1_d)
+    state = cgh(R, p)
+    res1 = float(state[0])
     u, v = float(u_init), float(v_init)
     it = 0
     for _ in range(max_iters):
-        dx, q1_d = _solve_exec(H, g, jnp.asarray(u, R0.dtype), g_size_f,
-                               solver)
+        dx, q1_d = solve(state, u)
         R_t, p_t = _step_exec(R, p, dx)
-        res2_d, g_t, H_t = cgh(R_t, p_t)
-        res2, q1 = float(res2_d), float(q1_d)
+        state_t = cgh(R_t, p_t)
+        res2, q1 = float(state_t[0]), float(q1_d)
 
         q = res1 - res2
         converged = abs(res1 - res2) / (abs(res1) if res1 != 0 else 1.0) \
@@ -432,7 +482,7 @@ def lm_damping_iter_split(
             qr = q / (q1 if q1 != 0 else 1.0)
             u *= max(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
             v = 2.0
-            R, p, g, H, res1 = R_t, p_t, g_t, H_t, res2
+            R, p, state, res1 = R_t, p_t, state_t, res2
         else:
             u *= v
             v *= 2.0
