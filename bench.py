@@ -162,6 +162,9 @@ def bench_lidar_w50(light: bool = False):
     # VERDICT r3 weak #5); that eval-only ratio is kept as vs_native_eval.
     cpu_native_lm_ips = None
     try:
+        # untimed warmup: the first native call may lazily g++-build the
+        # .so (runtime.get_lib), which must not land in the timed window
+        nat.lm_solve(vm.buckets, Rp, pp, W, max_iters=1)
         t0 = time.perf_counter()
         out2 = nat.lm_solve(vm.buckets, Rp, pp, W,
                             max_iters=2 if light else LM_ITERS)

@@ -689,8 +689,10 @@ def banded_straggler_rows(bg: BandedGroups, R, p, W: int):
 
 def banded_cgh_compact(bg: BandedGroups, R, p, W: int):
     """Full compact banded evaluation of one bucket -> (resid, g, Hd,
-    grams (G, 6w, 6w), wide_M (Vw, W, 3, 6)).  Same math as banded_cgh
-    with H = scatter(grams by bg.offset) - wide_Mᵀ wide_M + diag(Hd)."""
+    grams (G, 6w, 6w), wide_M (Vw, W, 3, 6)).  Same math as banded_cgh:
+    grams hold +MᵀM per group, so
+    H = diag-blocks(Hd) - scatter(grams by bg.offset) - wide_Mᵀ wide_M
+    (the consumer, dist_solve.solve_damped_cg_banded, SUBTRACTS both)."""
     r0, g0, Hd0, grams = banded_scan_grams(
         bg.fa, bg.inv, bg.offset, R, p, W
     )
@@ -828,12 +830,20 @@ def plane_rows_matvec(
 # oracle in tests.
 
 
+def _moment_channels(fa: PlaneFactorArrays):
+    """Component planes of the bucket's moments (mu3 3-tuple, P6 6-tuple
+    of (V, K) arrays) — the single place the PlaneFactorArrays component
+    layout is unpacked for the SoA paths."""
+    mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
+    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
+          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    return mu3, P6
+
+
 def _soa_split(fa: PlaneFactorArrays, Rg, pg):
     """Component planes of a bucket + pre-gathered poses (shared by the
     XLA path and the Pallas wrappers)."""
-    m1, m2, m3 = fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2]
-    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
-          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    (m1, m2, m3), P6 = _moment_channels(fa)
     R9 = (Rg[..., 0, 0], Rg[..., 0, 1], Rg[..., 0, 2],
           Rg[..., 1, 0], Rg[..., 1, 1], Rg[..., 1, 2],
           Rg[..., 2, 0], Rg[..., 2, 1], Rg[..., 2, 2])
@@ -841,7 +851,7 @@ def _soa_split(fa: PlaneFactorArrays, Rg, pg):
     return (m1, m2, m3), P6, R9, p3
 
 
-def _pose_channels(fa: PlaneFactorArrays, R, p, W_unused: int = 0):
+def _pose_channels(fa: PlaneFactorArrays, R, p):
     """Per-entry pose component planes R9 (9 x (V, K)), p3 (3 x (V, K))
     WITHOUT a per-entry row gather.  The selection table width is the POSE
     COUNT R.shape[0] — NOT the Hessian width (the banded path evaluates
@@ -1162,9 +1172,7 @@ def _soa_kernel_enabled() -> bool:
 def _soa_core(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray, W: int):
     """SoA evaluation. Returns (resid, jjt6 (V,K,6), D36 (V,K,36),
     rows18 (V,K,18)) with rows = [B1·A; B2·A; √2/N·[w; n·u]]."""
-    mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
-    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
-          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    mu3, P6 = _moment_channels(fa)
     R9, p3 = _pose_channels(fa, R, p)
     mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     residv, u, B1, B2 = _soa_eig(cov6, N)
@@ -1293,9 +1301,7 @@ def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp
         from ..ops.pallas.soa_fused import soa_resid_fused
 
         return jnp.sum(soa_resid_fused(fa, R[fa.frame], p[fa.frame]))
-    mu3 = (fa.mu[..., 0], fa.mu[..., 1], fa.mu[..., 2])
-    P6 = (fa.Pc[..., 0, 0], fa.Pc[..., 0, 1], fa.Pc[..., 0, 2],
-          fa.Pc[..., 1, 1], fa.Pc[..., 1, 2], fa.Pc[..., 2, 2])
+    mu3, P6 = _moment_channels(fa)
     R9, p3 = _pose_channels(fa, R, p)
     _, _, N, invN, _, _, _, cov6 = _soa_agg(fa.n, mu3, P6, R9, p3)
     lam0, _, _ = eigvals3_soa(*cov6)

@@ -291,7 +291,18 @@ def solve_schur_cg_pm(
 
     W/Y stay in flat obs order; each tier row-gathers them ONCE per call
     (outside the CG loop).  Padded slots carry zero W/Y rows and an
-    out-of-range cam id, so they contribute exactly nothing."""
+    out-of-range cam id, so they contribute exactly nothing.
+
+    max_iters is 96 (the mf path used 256): the fixed-trip done-masked
+    loop pays every trip whether converged or not, and an LM outer loop
+    tolerates an inexact inner solve — a truncated CG iterate on an SPD
+    system is still a descent direction, and the Nielsen acceptance test
+    rejects any step the truncation made bad (inexact-Newton semantics;
+    Ceres' ITERATIVE_SCHUR similarly runs loose inner tolerances).
+    Raise LVBA_PM_CG_ITERS for pathologically conditioned problems."""
+    import os
+
+    max_iters = int(os.environ.get("LVBA_PM_CG_ITERS", str(max_iters)))
     M = dHcc.shape[0]
     dt = dHcc.dtype
     with jax.default_matmul_precision("highest"):

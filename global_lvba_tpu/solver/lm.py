@@ -414,6 +414,13 @@ def lm_damping_iter_split(
     """
     W = R0.shape[0]
     solver = str(reduced_solver)
+    if solver == "cg_mf":
+        raise ValueError(
+            "lm_damping_iter_split does not support reduced_solver='cg_mf'"
+            " (use the fused lm_damping_iter for the rows path, or"
+            " hessian='banded' here — the banded-compact solve never"
+            " materializes the dense H either)"
+        )
     if solver == "auto":
         solver = "cg" if 6 * W >= 1536 else "lu"
 

@@ -23,6 +23,7 @@ is jitted JAX.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -92,14 +93,15 @@ def _point_major_tiers(obs_cam: np.ndarray, obs_pt: np.ndarray,
                                         ).astype(np.int64))
     for K in np.unique(kclass):
         sel = np.flatnonzero(kclass == K)
-        Pv = sel.shape[0]
-        idx = np.full((Pv, int(K)), O, np.int32)
-        cam = np.full((Pv, int(K)), num_cams, np.int32)
-        for r, s in enumerate(sel):
-            c = counts[s]
-            rows = order[starts[s]:starts[s] + c]
-            idx[r, :c] = rows
-            cam[r, :c] = obs_cam[rows]
+        K = int(K)
+        # vectorized tier fill (a per-point python loop stalled ~tens of
+        # seconds at P ~ 1M): positions past each point's count mask to
+        # the pad row O / pad camera id num_cams
+        pos = starts[sel][:, None] + np.arange(K)[None, :]
+        mask = np.arange(K)[None, :] < counts[sel][:, None]
+        rows = order[np.minimum(pos, O - 1)]
+        idx = np.where(mask, rows, O).astype(np.int32)
+        cam = np.where(mask, obs_cam[rows], num_cams).astype(np.int32)
         tiers.append(PMTier(idx=jnp.asarray(idx), cam=jnp.asarray(cam)))
     return tuple(tiers)
 
@@ -508,6 +510,23 @@ def solve_visual_ba(
                 np.asarray(prob.obs_pt, np.int32),
                 prob.num_pts, prob.num_cams,
             )
+            # the pm matvec's (Pv*K, M) bf16 one-hots live in HBM for the
+            # whole solve — guard their footprint (the per-observation
+            # matvec it replaces is O(O) memory); fall back to the
+            # gather-based matvec when they would not fit comfortably
+            oh_bytes = sum(
+                2 * t.idx.shape[0] * t.idx.shape[1] * prob.num_cams
+                for t in tiers
+            )
+            if oh_bytes > int(os.environ.get(
+                    "LVBA_PM_ONEHOT_BUDGET", str(4 << 30))):
+                import logging
+
+                logging.getLogger("global_lvba_tpu.solver").info(
+                    "[visualBA] pm one-hots ~%.1f GB exceed budget; using"
+                    " the per-observation matvec", oh_bytes / 2**30,
+                )
+                tiers = ()
     else:
         pair_a, pair_b = _build_pairs(prob.obs_pt, prob.num_pts)
     obs_cam = np.asarray(prob.obs_cam, np.int32)

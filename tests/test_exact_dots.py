@@ -45,9 +45,9 @@ def test_pose_channels_exact_selection(scene_buckets, monkeypatch):
     W, buckets, R, p = scene_buckets
     for fa in buckets:
         monkeypatch.setenv("LVBA_EXACT_DOTS", "force")
-        R9f, p3f = pe._pose_channels(fa, R, p, W)
+        R9f, p3f = pe._pose_channels(fa, R, p)
         monkeypatch.setenv("LVBA_EXACT_DOTS", "0")
-        R9g, p3g = pe._pose_channels(fa, R, p, W)
+        R9g, p3g = pe._pose_channels(fa, R, p)
         for a, b in zip(R9f + p3f, R9g + p3g):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -104,10 +104,10 @@ def test_selection_kernels_match_xla(scene_buckets, monkeypatch):
     monkeypatch.setenv("LVBA_EXACT_DOTS", "force")
     for fa in buckets:
         monkeypatch.setenv("LVBA_SEL_KERNEL", "force")
-        R9k, p3k = pe._pose_channels(fa, R, p, W)
+        R9k, p3k = pe._pose_channels(fa, R, p)
         rk, gk, Hdk, Mk = pe._chunk_eval_soa(fa, R, p, W)
         monkeypatch.setenv("LVBA_SEL_KERNEL", "0")
-        R9x, p3x = pe._pose_channels(fa, R, p, W)
+        R9x, p3x = pe._pose_channels(fa, R, p)
         rx, gx, Hdx, Mx = pe._chunk_eval_soa(fa, R, p, W)
         for a, b in zip(R9k + p3k, R9x + p3x):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
