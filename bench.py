@@ -686,10 +686,13 @@ def main():
         # W>=2048 goes straight to the split-executable path — the fused
         # whole-loop program at these Ws exceeds what the tunnel's
         # remote-compile service accepts (HTTP 500 twice in round 3)
-        for Wl, split in ((1536, False), (2048, True), (4096, True)):
+        for Wl, split in ((1536, False), (2048, True), (4096, True),
+                          (8192, True)):
             for attempt in (0, 1):
                 try:
-                    ms, ate0, ate1, n_pts = bench_wlarge(Wl, split=split)
+                    ms, ate0, ate1, n_pts = bench_wlarge(
+                        Wl, points_per_frame=700 if Wl >= 8192 else 1000,
+                        split=split)
                     extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
                     extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
                     extras[f"w{Wl}_points"] = n_pts

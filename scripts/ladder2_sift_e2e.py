@@ -100,6 +100,17 @@ def main():
     res = sysm.run_visual_ba()
     total_s = time.time() - t0
 
+    # steady-state: second run with every executable warm — the cold run
+    # is compile-dominated (the frontend alone traces extraction+matching)
+    steady_s = None
+    if os.environ.get("LADDER2_STEADY", "1") == "1":
+        t0 = time.time()
+        sysm2 = LvbaSystem(cfg, out_dir=root / "lvba_out2", resume=False)
+        sysm2.run_lidar_ba()
+        res = sysm2.run_visual_ba()
+        steady_s = time.time() - t0
+        sysm = sysm2
+
     obs_cam, obs_pt, obs_uv = res.track_obs
     out = {
         "metric": "ladder2_sift_e2e",
@@ -115,6 +126,7 @@ def main():
         ],
         "render_s": round(render_s, 1),
         "pipeline_s": round(total_s, 1),
+        "steady_s": round(steady_s, 1) if steady_s is not None else None,
     }
     print(json.dumps(out))
 
