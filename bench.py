@@ -165,11 +165,17 @@ def bench_lidar_w50(light: bool = False):
         # untimed warmup: the first native call may lazily g++-build the
         # .so (runtime.get_lib), which must not land in the timed window
         nat.lm_solve(vm.buckets, Rp, pp, W, max_iters=1)
-        t0 = time.perf_counter()
-        out2 = nat.lm_solve(vm.buckets, Rp, pp, W,
-                            max_iters=2 if light else LM_ITERS)
-        if out2 is not None and out2[3] > 0:
-            cpu_native_lm_ips = out2[3] / (time.perf_counter() - t0)
+        # best-of-3: the denominator on a shared 4-core host measured
+        # 15-30 iters/s across runs purely from CPU contention — take the
+        # machine's best (the fair "all cores" number)
+        for _ in range(1 if light else 3):
+            t0 = time.perf_counter()
+            out2 = nat.lm_solve(vm.buckets, Rp, pp, W,
+                                max_iters=2 if light else LM_ITERS)
+            if out2 is not None and out2[3] > 0:
+                ips = out2[3] / (time.perf_counter() - t0)
+                if cpu_native_lm_ips is None or ips > cpu_native_lm_ips:
+                    cpu_native_lm_ips = ips
     except Exception:
         pass
 

@@ -153,6 +153,19 @@ def lm_damping_iter(
     flop ratio host-side at W >= 512 and picks banded when it saves >= 4x.
     """
     W = R0.shape[0]
+    # very large W: route to the host-driven split-executable LM (three
+    # bounded programs + the compact banded solve) — the fused whole-loop
+    # program at W >= ~2048 is rejected by remote-compile services and its
+    # dense (6W)² H stops fitting HBM by 8192.  Only from OUTSIDE a trace
+    # (the split loop fetches scalars per iteration).
+    if (W >= 3072 and not isinstance(R0, jax.core.Tracer)
+            and h_sharding is None and not gather_tables
+            and reduced_solver != "cg_mf"):
+        return lm_damping_iter_split(
+            buckets, R0, p0, max_iters=max_iters, u_init=u_init,
+            v_init=v_init, rel_tol=rel_tol, reduced_solver=reduced_solver,
+            hessian=hessian,
+        )
     solver = str(reduced_solver)
     if solver == "auto":
         # CROSSOVER POLICY (measured, TPU v5e 1 chip):
