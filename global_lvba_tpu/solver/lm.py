@@ -158,7 +158,8 @@ def lm_damping_iter(
     # program at W >= ~2048 is rejected by remote-compile services and its
     # dense (6W)² H stops fitting HBM by 8192.  Only from OUTSIDE a trace
     # (the split loop fetches scalars per iteration).
-    if (W >= 3072 and not isinstance(R0, jax.core.Tracer)
+    split_w = int(os.environ.get("LVBA_SPLIT_W", "3072"))
+    if (W >= split_w and not isinstance(R0, jax.core.Tracer)
             and h_sharding is None and not gather_tables
             and reduced_solver != "cg_mf"):
         return lm_damping_iter_split(

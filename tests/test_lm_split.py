@@ -56,3 +56,18 @@ def test_split_matches_fused_banded_cg():
                                rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(np.asarray(res_s.p), np.asarray(res_f.p),
                                rtol=1e-8, atol=1e-11)
+
+
+def test_large_w_auto_routes_to_split(monkeypatch):
+    """lm_damping_iter at W >= LVBA_SPLIT_W must route to the split path
+    (the fused whole-loop program is rejected by remote-compile services
+    at large W) and produce the split result."""
+    W = 24
+    buckets, R, p = _setup(make_plane_scene(num_frames=W,
+                                            points_per_frame=600, seed=3))
+    res_direct = lm_damping_iter_split(buckets, R, p, max_iters=4)
+    monkeypatch.setenv("LVBA_SPLIT_W", "16")
+    res_routed = lm_damping_iter(buckets, R, p, max_iters=4)
+    np.testing.assert_allclose(np.asarray(res_routed.p),
+                               np.asarray(res_direct.p),
+                               rtol=1e-10, atol=1e-13)
