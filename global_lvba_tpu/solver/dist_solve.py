@@ -32,7 +32,15 @@ import jax.numpy as jnp
 def _inv3_batched(A: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of batched 3x3 blocks via the adjugate —
     componentwise VPU math; jnp.linalg.inv on small batched blocks lowers
-    to a serialized LAPACK-style loop on TPU."""
+    to a serialized LAPACK-style loop on TPU.
+
+    Each block is normalized by its max |entry| before the adjugate: tiny
+    damped blocks (entries ~1e-12 on eps-pinned zero-rows) would otherwise
+    underflow the f32 cofactors/det to 0 and silently return ~0 instead of
+    the large inverse.  inv(s*A') = inv(A')/s restores the scale."""
+    s = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+    s = jnp.where(s == 0, jnp.ones_like(s), s)
+    A = A / s
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -44,7 +52,7 @@ def _inv3_batched(A: jnp.ndarray) -> jnp.ndarray:
     r0 = jnp.stack([c00, a02 * a21 - a01 * a22, a01 * a12 - a02 * a11], -1)
     r1 = jnp.stack([c01, a00 * a22 - a02 * a20, a02 * a10 - a00 * a12], -1)
     r2 = jnp.stack([c02, a01 * a20 - a00 * a21, a00 * a11 - a01 * a10], -1)
-    return jnp.stack([r0, r1, r2], -2) * inv_det[..., None, None]
+    return jnp.stack([r0, r1, r2], -2) * (inv_det[..., None, None] / s)
 
 
 def inv_blocks_6x6(D: jnp.ndarray) -> jnp.ndarray:
@@ -382,7 +390,14 @@ def solve_damped_cg_banded(
     python ints (the split LM is host-driven, so offsets are concrete) —
     static slices compile to fixed ranges instead of serialized gathers.
 
+    max_iters defaults to 96 (inexact-Newton semantics, same rationale as
+    solve_schur_cg_pm); LVBA_BANDED_CG_ITERS restores a deeper inner solve
+    for ill-conditioned problems routed to the split/banded path.
+
     Returns (dx (6W,), d (6W,)) with d = diag(H) (LM gain ratio)."""
+    import os
+
+    max_iters = int(os.environ.get("LVBA_BANDED_CG_ITERS", str(max_iters)))
     W = Hd.shape[0]
     dt = Hd.dtype
     with jax.default_matmul_precision("highest"):

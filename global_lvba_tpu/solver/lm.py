@@ -153,6 +153,11 @@ def lm_damping_iter(
     flop ratio host-side at W >= 512 and picks banded when it saves >= 4x.
     """
     W = R0.shape[0]
+    # resolve the env fallback BEFORE the split-routing check below — a
+    # default None would read as "no gather tables" there and silently
+    # ignore LVBA_GATHER_M=1 for large-W solves
+    if gather_tables is None:
+        gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
     # very large W: route to the host-driven split-executable LM (three
     # bounded programs + the compact banded solve) — the fused whole-loop
     # program at W >= ~2048 is rejected by remote-compile services and its
@@ -223,8 +228,6 @@ def lm_damping_iter(
                     float(u_init), float(v_init), float(rel_tol),
                     solver, int(g_size),
                 )
-    if gather_tables is None:
-        gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
     invs = (
         tuple(build_gather_plan(fa, W) for fa in buckets)
         if gather_tables else None

@@ -510,12 +510,19 @@ def solve_visual_ba(
                 np.asarray(prob.obs_pt, np.int32),
                 prob.num_pts, prob.num_cams,
             )
-            # the pm matvec's (Pv*K, M) bf16 one-hots live in HBM for the
+            # the pm matvec's (Pv*K, M) one-hots live in HBM for the
             # whole solve — guard their footprint (the per-observation
             # matvec it replaces is O(O) memory); fall back to the
-            # gather-based matvec when they would not fit comfortably
+            # gather-based matvec when they would not fit comfortably.
+            # One-hots are bf16 (2 B) in f32 runs but FULL dtype width in
+            # f64 parity runs, and each tier also holds gathered Wt/Yt
+            # copies (2 x Pv*K*18 floats) for the whole solve — both
+            # sized from the actual dtype
+            itemsize = jnp.dtype(dtype).itemsize
+            oh_itemsize = 2 if dtype == jnp.float32 else itemsize
             oh_bytes = sum(
-                2 * t.idx.shape[0] * t.idx.shape[1] * prob.num_cams
+                t.idx.shape[0] * t.idx.shape[1]
+                * (oh_itemsize * prob.num_cams + 2 * 18 * itemsize)
                 for t in tiers
             )
             if oh_bytes > int(os.environ.get(
