@@ -164,6 +164,130 @@ def lm_damping_iter_banded_sharded(
     )
 
 
+def pad_banded_group_stack(bg, n: int):
+    """Pad a bucket's banded group stack to a multiple of n groups so it
+    tiles a mesh axis.  Padded groups carry all-zero factor rows and
+    offset 0 — their Grams evaluate to exact zeros and contribute
+    nothing anywhere downstream."""
+    from ..factors.plane_eigen import BandedGroups
+
+    G = bg.fa.n.shape[0]
+    Gp = ((G + n - 1) // n) * n
+    if Gp == G:
+        return bg
+
+    def padg(x):
+        return jnp.pad(x, [(0, Gp - G)] + [(0, 0)] * (x.ndim - 1))
+
+    return BandedGroups(
+        fa=PlaneFactorArrays(
+            padg(bg.fa.n), padg(bg.fa.mu), padg(bg.fa.Pc), padg(bg.fa.frame)
+        ),
+        inv=padg(bg.inv),
+        offset=padg(bg.offset),
+        wide_fa=bg.wide_fa,
+        wide_inv=bg.wide_inv,
+    )
+
+
+def banded_cgh_compact_sharded(
+    bg, R: jnp.ndarray, p: jnp.ndarray, W: int, mesh: Mesh,
+    axis: str = "factors",
+):
+    """Distributed COMPACT banded evaluation: like banded_cgh_sharded the
+    group stack shards over `axis`, but the per-group Grams are returned
+    device-local (out_spec P(axis), no psum) instead of being scattered
+    into a dense (6W)² cross Hessian — no device ever materializes a
+    (6W)²-sized buffer, so the multi-chip W ceiling is set by the
+    SHARDED gram stack (G/n)·(12B)² per device, not by (6W)² (the
+    round-4 single-chip ceiling).  The caller must pre-pad the stack
+    with pad_banded_group_stack.
+
+    Returns (resid, g (W,6), Hd (W,6,6)) replicated + grams (G, 6w, 6w)
+    sharded over `axis` + straggler rows (Vw, W, 3, 6) replicated.
+    The consumer is dist_solve.solve_damped_cg_banded_vec, whose
+    G-contraction einsum GSPMD turns into the psum."""
+    from functools import partial as _partial
+
+    from ..factors.plane_eigen import banded_scan_grams, banded_straggler_rows
+
+    assert bg.fa.n.shape[0] % mesh.shape[axis] == 0, (
+        "pad the group stack with pad_banded_group_stack first"
+    )
+    pspec = P(axis)
+    rspec = P()
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, pspec, pspec, rspec, rspec),
+        out_specs=(rspec, rspec, rspec, pspec),
+    )
+    def eval_shard(n_, mu_, Pc_, frame_, inv_, off_, R_, p_):
+        local = PlaneFactorArrays(n_, mu_, Pc_, frame_)
+        r, g, Hd, grams = banded_scan_grams(local, inv_, off_, R_, p_, W)
+        return (
+            jax.lax.psum(r, axis), jax.lax.psum(g, axis),
+            jax.lax.psum(Hd, axis), grams,
+        )
+
+    r, g, Hd, grams = eval_shard(
+        bg.fa.n, bg.fa.mu, bg.fa.Pc, bg.fa.frame, bg.inv, bg.offset, R, p
+    )
+    r_, g_, Hd_, wM = banded_straggler_rows(bg, R, p, W)
+    return r + r_, g + g_, Hd + Hd_, grams, wM
+
+
+def lm_damping_iter_banded_compact_sharded(
+    buckets: Sequence[PlaneFactorArrays],
+    R0: jnp.ndarray,
+    p0: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "factors",
+    max_iters: int = 10,
+    block: int = None,
+) -> LMResult:
+    """Distributed compact-banded LM: group stacks sharded over the mesh,
+    per-group Grams kept device-local, and the damped solve applied in
+    the pair-window form (dist_solve.solve_damped_cg_banded_vec) whose
+    G-contraction psums — the (6W)² Hessian is materialized on NO device
+    at ANY point.  This is the multi-chip W-scaling path: per-device
+    memory is (G/n)·(12B)² for the Grams, so W scales past the round-4
+    single-chip 8192 ceiling linearly with mesh size.
+
+    Requires pair-aligned group offsets (block | W — build_banded_groups
+    emits aligned offsets then); raises otherwise so the caller can fall
+    back to lm_damping_iter_banded_sharded."""
+    import numpy as np
+
+    from ..factors.plane_eigen import build_banded_groups
+    from ..solver.dist_solve import _pair_aligned
+    from ..solver.lm import _lm_banded_compact_jitted
+
+    W = R0.shape[0]
+    rep = NamedSharding(mesh, P())
+    R0 = jax.device_put(jnp.asarray(R0), rep)
+    p0 = jax.device_put(jnp.asarray(p0), rep)
+    n = mesh.shape[axis]
+    groups = []
+    for fa in buckets:
+        bg = build_banded_groups(fa, W, block=block)
+        offs = tuple(int(o) for o in np.asarray(bg.offset))
+        width = int(bg.inv.shape[-1])
+        if not _pair_aligned(offs, width, W):
+            raise ValueError(
+                f"group offsets not pair-aligned (W={W}, width={width}):"
+                " pick block with block | W, or use"
+                " lm_damping_iter_banded_sharded"
+            )
+        groups.append(pad_banded_group_stack(bg, n))
+    g_size = sum(int(fa.n.shape[0]) for fa in buckets)
+    return _lm_banded_compact_jitted(
+        tuple(groups), R0, p0, int(max_iters), 0.01, 2.0, 1e-6,
+        int(g_size), mesh, axis,
+    )
+
+
 def banded_cgh_sharded(
     bg, R: jnp.ndarray, p: jnp.ndarray, W: int, mesh: Mesh,
     axis: str = "factors",

@@ -596,6 +596,82 @@ def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
     return LMResult(R=R, p=p, iters=it, residual=res1)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _lm_banded_compact_jitted(groups_all, R0, p0, max_iters, u_init,
+                              v_init, rel_tol, g_size, mesh=None,
+                              mesh_axis="factors"):
+    """COMPACT banded LM: identical Nielsen loop to _lm_banded_jitted, but
+    the linearization is carried as per-group Grams + diag extras — the
+    dense (6W)² cross Hessian is never assembled (the compact form that
+    unlocked W = 8192 single-chip, here inside a fused loop), and the
+    damped solve applies them in the pair-window form
+    (dist_solve.solve_damped_cg_banded_vec).  With `mesh`, the group
+    stacks evaluate sharded (parallel.shard.banded_cgh_compact_sharded)
+    and the Grams STAY sharded through the solve, whose G-contraction
+    einsum GSPMD turns into the psum — the distributed large-W path with
+    no (6W)² buffer on any device.  Group offsets must be pair-aligned
+    (callers check host-side)."""
+    from .dist_solve import solve_damped_cg_banded_vec
+    from ..factors.plane_eigen import banded_cgh_compact
+
+    if mesh is not None:
+        from ..parallel.shard import banded_cgh_compact_sharded
+
+    W = R0.shape[0]
+    g_size_f = jnp.asarray(float(max(g_size, 1)), dtype=R0.dtype)
+    offsets = tuple(bg.offset for bg in groups_all)
+
+    def cgh(R, p):
+        resid = jnp.zeros((), R0.dtype)
+        g = jnp.zeros((W, 6), R0.dtype)
+        Hd = jnp.zeros((W, 6, 6), R0.dtype)
+        grams, wides = [], []
+        for bg in groups_all:
+            if mesh is None:
+                r_, g_, Hd_, gr, wM = banded_cgh_compact(bg, R, p, W)
+            else:
+                r_, g_, Hd_, gr, wM = banded_cgh_compact_sharded(
+                    bg, R, p, W, mesh, mesh_axis)
+            resid, g, Hd = resid + r_, g + g_, Hd + Hd_
+            grams.append(gr)
+            wides.append(wM)
+        return resid / g_size_f, g, Hd, tuple(grams), tuple(wides)
+
+    res1_0, g_0, Hd_0, grams_0, wides_0 = cgh(R0, p0)
+    state = (
+        R0, p0,
+        jnp.asarray(u_init, R0.dtype), jnp.asarray(v_init, R0.dtype),
+        res1_0, g_0, Hd_0, grams_0, wides_0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+    )
+
+    def body_fn(_i, s):
+        R, p, u, v, res1, g, Hd, grams, wides, it, done = s
+        dx, d = solve_damped_cg_banded_vec(grams, wides, offsets, Hd, g, u)
+        dxp = dx.reshape(W, 6)
+        R_t, p_t = boxplus_pose(R, p, dxp)
+        q1 = 0.5 * jnp.dot(dx, u * d * dx - g.reshape(-1)) / g_size_f
+        res2, g_t, Hd_t, grams_t, wides_t = cgh(R_t, p_t)
+        accept, u_new, v_new, converged = _nielsen_update(
+            res1, res2, q1, u, v, rel_tol
+        )
+        sel = lambda new, old: jnp.where(accept & ~done, new, old)
+        grams_new = jax.tree_util.tree_map(sel, grams_t, grams)
+        wides_new = jax.tree_util.tree_map(sel, wides_t, wides)
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (
+            sel(R_t, R), sel(p_t, p), frz(u_new, u), frz(v_new, v),
+            sel(res2, res1), sel(g_t, g), sel(Hd_t, Hd),
+            grams_new, wides_new,
+            jnp.where(done, it, it + 1), done | converged,
+        )
+
+    out = jax.lax.fori_loop(0, max_iters, body_fn, state)
+    R, p, u, v, res1 = out[:5]
+    it = out[9]
+    return LMResult(R=R, p=p, iters=it, residual=res1)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _lm_rows_jitted(buckets, tables, R0, p0, max_iters, u_init, v_init,
                     rel_tol):
