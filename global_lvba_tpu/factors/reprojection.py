@@ -62,6 +62,25 @@ def reproj_residuals_batch(cam, R_all, t_all, X_all, obs_cam, obs_pt, obs_uv, si
     return jax.vmap(one)(R, t, X, obs_uv)
 
 
+def reproj_jacobians_expanded(cam, R, t, X, uv, sigma):
+    """Residuals + Jacobians on ALREADY-EXPANDED per-observation inputs
+    (R (N,3,3), t (N,3), X (N,3), uv (N,2)) — the tier-native visual path
+    expands camera poses by exact one-hot selection matmuls instead of
+    the serialized per-observation row gathers reproj_jacobians_batch
+    performs.  Returns (r (N,2), Jc (N,2,6), Jp (N,2,3))."""
+    zero3 = jnp.zeros(3, dtype=R.dtype)
+
+    def one(R_, t_, X_, uv_):
+        f = lambda dth, dt_, dX: _reproj_local(
+            cam, R_, t_, X_, uv_, sigma, dth, dt_, dX)
+        r = f(zero3, zero3, zero3)
+        Jth, Jt, Jx = jax.jacfwd(f, argnums=(0, 1, 2))(zero3, zero3, zero3)
+        Jc = jnp.concatenate([Jth, Jt], axis=-1)
+        return r, Jc, Jx
+
+    return jax.vmap(one)(R, t, X, uv)
+
+
 def reproj_jacobians_batch(cam, R_all, t_all, X_all, obs_cam, obs_pt, obs_uv, sigma):
     """Residuals + Jacobians wrt (pose tangent 6, point 3).
 
@@ -70,16 +89,7 @@ def reproj_jacobians_batch(cam, R_all, t_all, X_all, obs_cam, obs_pt, obs_uv, si
     R = R_all[obs_cam]
     t = t_all[obs_cam]
     X = X_all[obs_pt]
-    zero3 = jnp.zeros(3, dtype=R_all.dtype)
-
-    def one(R, t, X, uv):
-        f = lambda dth, dt_, dX: _reproj_local(cam, R, t, X, uv, sigma, dth, dt_, dX)
-        r = f(zero3, zero3, zero3)
-        Jth, Jt, Jx = jax.jacfwd(f, argnums=(0, 1, 2))(zero3, zero3, zero3)
-        Jc = jnp.concatenate([Jth, Jt], axis=-1)
-        return r, Jc, Jx
-
-    return jax.vmap(one)(R, t, X, obs_uv)
+    return reproj_jacobians_expanded(cam, R, t, X, obs_uv, sigma)
 
 
 def plane_point_residual(n, d, X, sigma):

@@ -317,21 +317,59 @@ def solve_schur_cg_pm(
         zrow = jnp.zeros((1,) + W.shape[1:], dt)
         Wp = jnp.concatenate([W, zrow])
         Yp = jnp.concatenate([Y, zrow])
-        eye = jnp.eye(6, dtype=dt)
-        cross = jnp.zeros((M, 6, 6), dt)
         tdat = []
         for t in tiers:
             Wt = Wp[t.idx]                               # (Pv, K, 6, 3)
             Yt = Yp[t.idx]
-            Pv, K = t.idx.shape
-            oh = (
-                t.cam[..., None] == jnp.arange(M, dtype=t.cam.dtype)
-            ).astype(jnp.bfloat16 if dt == jnp.float32 else dt
-                     ).reshape(Pv * K, M)
-            tdat.append((Wt, Yt, oh, Pv, K))
+            tdat.append((Wt, Yt, t.cam))
+        return solve_schur_cg_pm_tiers(
+            dHcc, tuple(tdat), b, fix_first=fix_first,
+            max_iters=max_iters, tol=tol,
+        )
+
+
+def pm_onehot(cam: jnp.ndarray, M: int, dtype) -> jnp.ndarray:
+    """(Pv*K, M) camera selection one-hot from tier camera ids (pad id M
+    gives an all-zero row).  bf16 when the solve dtype is f32 (0/1 is
+    exact in bf16; the VALUE operand is the one that gets the 3-way
+    mantissa split), full width otherwise."""
+    Pv, K = cam.shape
+    oh_dt = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    return (
+        cam[..., None] == jnp.arange(M, dtype=cam.dtype)
+    ).astype(oh_dt).reshape(Pv * K, M)
+
+
+def solve_schur_cg_pm_tiers(
+    dHcc: jnp.ndarray,
+    tdat,
+    b: jnp.ndarray,
+    fix_first: bool = True,
+    max_iters: int = 96,
+    tol: float = 1e-10,
+) -> jnp.ndarray:
+    """Point-major CG core on TIER-RESIDENT data: tdat is a tuple of
+    (Wt (Pv,K,6,3), Yt (Pv,K,6,3), cam (Pv,K) int32 ids) — the
+    tier-native LM loop (schur._lm_device_loop_tiers) produces W/Y in
+    tier layout directly, so no per-call row gathers remain.  One-hots
+    are generated INLINE from the ids at each use: XLA fuses the
+    compare-broadcast into the dot's operand read, so only the int32
+    ids touch HBM — a PRE-MATERIALIZED (Pv*K, M) one-hot is ~0.6 GB at
+    M=1000/O=200k and streaming it twice per CG trip measured
+    +113 ms/iter on chip (this round's probe)."""
+    import os
+
+    max_iters = int(os.environ.get("LVBA_PM_CG_ITERS", str(max_iters)))
+    M = dHcc.shape[0]
+    dt = dHcc.dtype
+    with jax.default_matmul_precision("highest"):
+        eye = jnp.eye(6, dtype=dt)
+        cross = jnp.zeros((M, 6, 6), dt)
+        for Wt, Yt, cam in tdat:
+            Pv, K = Wt.shape[:2]
             yw = jnp.einsum("pkac,pkbc->pkab", Yt, Wt)   # Y W^T (6, 6)
             d = jax.lax.dot_general(
-                oh, _sel_pack3(yw.reshape(Pv * K, 36)),
+                pm_onehot(cam, M, dt), _sel_pack3(yw.reshape(Pv * K, 36)),
                 (((0,), (0,)), ((), ())), preferred_element_type=dt,
             )
             cross = cross + _sel_unpack3(d, 36).reshape(M, 6, 6)
@@ -344,7 +382,9 @@ def solve_schur_cg_pm(
             xm = x.at[0].set(0.0) if fix_first else x
             y = jnp.einsum("mab,mb->ma", dHcc, xm)
             xs3 = _sel_pack3(xm)                         # (M, 18) bf16
-            for Wt, Yt, oh, Pv, K in tdat:
+            for Wt, Yt, cam in tdat:
+                Pv, K = Wt.shape[:2]
+                oh = pm_onehot(cam, M, dt)               # fused, not stored
                 xe = _sel_unpack3(
                     jax.lax.dot_general(
                         oh, xs3, (((1,), (0,)), ((), ())),
@@ -530,11 +570,14 @@ def solve_damped_cg_banded(
 
     max_iters = int(os.environ.get("LVBA_BANDED_CG_ITERS", str(max_iters)))
     W = Hd.shape[0]
-    # block-aligned offsets (the common case — build_banded_groups emits
-    # them whenever block | W): the pair-window form replaces the
-    # unrolled per-group slice/update chains with three einsums per
-    # bucket and is the same code the distributed path shards
-    if all(
+    # LVBA_BANDED_PAIR=1 routes aligned-offset solves through the
+    # pair-window vectorized form.  Default OFF single-chip by on-chip
+    # A/B (W=4096: unrolled 634 vs pair 877 ms/iter — the unrolled
+    # static-slice chains fuse better than the fold/scatter einsums);
+    # the DISTRIBUTED path always uses the pair form directly
+    # (solve_damped_cg_banded_vec), where shard_map needs loop-free
+    # structure and the G-contraction psum.
+    if os.environ.get("LVBA_BANDED_PAIR", "0") == "1" and all(
         isinstance(offs, tuple)
         and _pair_aligned(offs, grams.shape[1] // 6, W)
         for grams, offs in zip(grams_list, offsets_list)

@@ -36,6 +36,7 @@ from ..geometry.so3 import exp_so3
 from ..factors.reprojection import (
     plane_point_batch,
     reproj_jacobians_batch,
+    reproj_jacobians_expanded,
 )
 
 
@@ -75,22 +76,26 @@ class VisualBAResult(NamedTuple):
     cost: float
 
 
-def _point_major_tiers(obs_cam: np.ndarray, obs_pt: np.ndarray,
-                       num_pts: int, num_cams: int):
-    """Host-built point-major tiers for the cg_pm matvec
-    (dist_solve.solve_schur_cg_pm): points grouped by pow2 track-length
-    class, each tier a padded (Pv, K) table of flat-observation indices
-    (pad -> O) and camera ids (pad -> M).  Static per problem."""
-    from .dist_solve import PMTier
-
+def _tier_tables(obs_cam: np.ndarray, obs_pt: np.ndarray, num_cams: int):
+    """Shared host tiering: points grouped by pow2 track-length class,
+    each class a padded (Pv, K) table.  Returns a list of
+    (pt (Pv,), idx (Pv, K), cam (Pv, K), mask (Pv, K)) numpy tuples where
+    idx indexes the FLAT observation arrays (pad -> O) and cam pads to
+    num_cams (whose one-hot column is all-zero).  Static per problem."""
     O = obs_pt.shape[0]
     order = np.argsort(obs_pt, kind="stable")
     spt = obs_pt[order]
     starts = np.flatnonzero(np.concatenate([[True], spt[1:] != spt[:-1]]))
     counts = np.diff(np.append(starts, O))
-    tiers = []
-    kclass = np.maximum(4, 1 << np.ceil(np.log2(np.maximum(counts, 1))
-                                        ).astype(np.int64))
+    out = []
+    # classes {4, 8, 12, 16, 24, 32, 48, ...} = pow2 and 1.5*pow2: caps
+    # the pad amplification of every per-observation op at 1.33x (pure
+    # pow2 classes pad up to 2x — e.g. 10-long tracks padded to 16 cost
+    # the tier-native Jacobian evaluation its whole advantage)
+    c = np.maximum(counts, 1)
+    p2 = 1 << np.ceil(np.log2(c)).astype(np.int64)
+    k34 = 3 * p2 // 4
+    kclass = np.maximum(4, np.where((k34 >= c) & (p2 >= 16), k34, p2))
     for K in np.unique(kclass):
         sel = np.flatnonzero(kclass == K)
         K = int(K)
@@ -102,8 +107,21 @@ def _point_major_tiers(obs_cam: np.ndarray, obs_pt: np.ndarray,
         rows = order[np.minimum(pos, O - 1)]
         idx = np.where(mask, rows, O).astype(np.int32)
         cam = np.where(mask, obs_cam[rows], num_cams).astype(np.int32)
-        tiers.append(PMTier(idx=jnp.asarray(idx), cam=jnp.asarray(cam)))
-    return tuple(tiers)
+        out.append((spt[starts[sel]].astype(np.int32), idx, cam, mask))
+    return out
+
+
+def _point_major_tiers(obs_cam: np.ndarray, obs_pt: np.ndarray,
+                       num_pts: int, num_cams: int):
+    """Host-built point-major tiers for the cg_pm matvec
+    (dist_solve.solve_schur_cg_pm): padded (Pv, K) tables of flat
+    observation indices (pad -> O) and camera ids (pad -> M)."""
+    from .dist_solve import PMTier
+
+    return tuple(
+        PMTier(idx=jnp.asarray(idx), cam=jnp.asarray(cam))
+        for _, idx, cam, _ in _tier_tables(obs_cam, obs_pt, num_cams)
+    )
 
 
 def _build_pairs(obs_pt: np.ndarray, num_pts: int):
@@ -165,6 +183,186 @@ class _LinCache(NamedTuple):
     Hpp: jnp.ndarray   # (P, 3, 3) undamped (incl. plane terms)
     Wb: jnp.ndarray    # (O, 6, 3) camera-point coupling blocks
     cost: jnp.ndarray  # scalar 0.5*||r||^2 at the linearization point
+
+
+class _TierConst(NamedTuple):
+    """Per-tier observation constants for the TIER-NATIVE visual path:
+    observations live permanently in point-major (Pv, K) layout, so the
+    LM iteration contains NO O-length gather/scatter at all — camera
+    expansion/reduction are exact one-hot selection matmuls and point
+    reductions are plain K-axis sums.  Pad slots carry cam id M -> a
+    zero one-hot row -> R = 0, Z = 0, and the reprojection's Z-gate
+    (reproj_residual, utils.hpp:78 semantics) zeroes their residual AND
+    Jacobians exactly — no weights needed.
+
+    The (Pv*K, M) one-hots are deliberately NOT stored: generated
+    inline from `cam` at every use so XLA fuses the compare-broadcast
+    into the dot's operand read.  A precomputed one-hot is a real HBM
+    array the MXU must stream (~0.6 GB at M=1000/O=200k, measured
+    +~40 ms/iter); the fused generation reads only the (Pv, K) int32
+    ids."""
+
+    uv: jnp.ndarray    # (Pv, K, 2) pixel measurements (pad rows unused)
+    cam: jnp.ndarray   # (Pv, K) int32 camera ids (pad -> M)
+    n: jnp.ndarray     # (Pv, 3) plane normals in tier point order
+    d: jnp.ndarray     # (Pv,) plane offsets
+
+
+class _LinCacheT(NamedTuple):
+    """Tier-layout analogue of _LinCache: camera blocks are global,
+    point blocks and coupling blocks are per-tier tuples."""
+
+    g_c: jnp.ndarray   # (M, 6)
+    Hcc: jnp.ndarray   # (M, 6, 6) undamped
+    g_p: tuple         # per tier (Pv, 3)
+    Hpp: tuple         # per tier (Pv, 3, 3) undamped (incl. plane terms)
+    Wb: tuple          # per tier (Pv, K, 6, 3)
+    cost: jnp.ndarray
+
+
+def _expand_cam_poses(cam_ids: jnp.ndarray, M: int,
+                      R: jnp.ndarray, t: jnp.ndarray):
+    """Per-observation (R, t) WITHOUT a per-observation row gather: one
+    exact bf16-split selection matmul against the camera one-hot,
+    generated INLINE from cam_ids so XLA fuses it into the dot (the
+    visual analogue of plane_eigen._pose_channels — R[obs_cam] row
+    gathers serialize on TPU).  Pad ids (M) give a zero one-hot row ->
+    R = 0, t = 0."""
+    from .dist_solve import _sel_pack3, _sel_unpack3, pm_onehot
+
+    dt = R.dtype
+    oh = pm_onehot(cam_ids, M, dt)
+    tbl = jnp.concatenate([R.reshape(M, 9), t], axis=1)          # (M, 12)
+    e = _sel_unpack3(
+        jax.lax.dot_general(
+            oh, _sel_pack3(tbl), (((1,), (0,)), ((), ())),
+            preferred_element_type=dt,
+        ), 12,
+    )
+    return e[:, :9].reshape(-1, 3, 3), e[:, 9:12]
+
+
+def _reduce_to_cams(cam_ids: jnp.ndarray, M: int, vals: jnp.ndarray):
+    """segment_sum-by-camera as an exact selection matmul: vals (N, C)
+    f32/f64 -> (M, C).  The transpose contraction of _expand_cam_poses;
+    one-hot generated inline (fused) for the same HBM reason."""
+    from .dist_solve import _sel_pack3, _sel_unpack3, pm_onehot
+
+    C = vals.shape[-1]
+    oh = pm_onehot(cam_ids, M, vals.dtype)
+    d = jax.lax.dot_general(
+        oh, _sel_pack3(vals), (((0,), (0,)), ((), ())),
+        preferred_element_type=vals.dtype,
+    )
+    return _sel_unpack3(d, C)
+
+
+def _linearize_tiers(pstat: "_ProbStatic", cam, tcs, R, t, Xts) -> _LinCacheT:
+    """Tier-native residual/Jacobian evaluation + u-independent
+    reductions: the tier-layout replacement for _linearize (which costs
+    ~13 ms of the M=1000 iteration in per-observation pose/point gathers
+    and 4 O-length segment_sums — STATUS.md round-4 roadmap items 1-2)."""
+    with jax.default_matmul_precision("highest"):
+        M = pstat.num_cams
+        dt = R.dtype
+        g_c = jnp.zeros((M, 6), dt)
+        Hcc = jnp.zeros((M, 6, 6), dt)
+        cost = jnp.zeros((), dt)
+        g_p_l, Hpp_l, Wb_l = [], [], []
+        for tc, Xt in zip(tcs, Xts):
+            Pv, K = tc.uv.shape[:2]
+            Re, te = _expand_cam_poses(tc.cam, M, R, t)
+            Xe = jnp.broadcast_to(Xt[:, None, :], (Pv, K, 3)).reshape(-1, 3)
+            r, Jc, Jp = reproj_jacobians_expanded(
+                cam, Re, te, Xe, tc.uv.reshape(-1, 2), pstat.sigma_px
+            )                               # (PvK, 2), (PvK, 2, 6), (PvK, 2, 3)
+            cost = cost + 0.5 * jnp.sum(r * r)
+            g_c = g_c + _reduce_to_cams(
+                tc.cam, M, jnp.einsum("oab,oa->ob", Jc, r)
+            )
+            Hcc = Hcc + _reduce_to_cams(
+                tc.cam, M, jnp.einsum("oam,oan->omn", Jc, Jc).reshape(-1, 36)
+            ).reshape(M, 6, 6)
+            g_p = jnp.einsum("oab,oa->ob", Jp, r).reshape(Pv, K, 3).sum(1)
+            Hpp = jnp.einsum(
+                "oam,oan->omn", Jp, Jp
+            ).reshape(Pv, K, 9).sum(1).reshape(Pv, 3, 3)
+            if pstat.use_plane:
+                rp, Jx = plane_point_batch(tc.n, tc.d, Xt, pstat.sigma_plane)
+                cost = cost + 0.5 * jnp.sum(rp * rp)
+                g_p = g_p + rp[:, None] * Jx
+                Hpp = Hpp + Jx[:, :, None] * Jx[:, None, :]
+            g_p_l.append(g_p)
+            Hpp_l.append(Hpp)
+            Wb_l.append(
+                jnp.einsum("oam,oan->omn", Jc, Jp).reshape(Pv, K, 6, 3)
+            )
+        return _LinCacheT(g_c=g_c, Hcc=Hcc, g_p=tuple(g_p_l),
+                          Hpp=tuple(Hpp_l), Wb=tuple(Wb_l), cost=cost)
+
+
+def _solve_cached_tiers(pstat: "_ProbStatic", tcs, cache: _LinCacheT, u):
+    """Damped assemble + point-major Schur CG + back-substitution, all in
+    tier layout: the one-hots are problem constants (hoisted out of the
+    whole LM loop) and no per-call Wt/Yt row gathers or one-hot builds
+    remain (~22 ms/call of per-call assembly at M=1000, STATUS.md
+    roadmap 2).  Returns (dc (M, 6), dX per-tier tuple, q1)."""
+    from .dist_solve import _inv3_batched, solve_schur_cg_pm_tiers
+
+    with jax.default_matmul_precision("highest"):
+        M = pstat.num_cams
+        g_c, Hcc = cache.g_c, cache.Hcc
+        dt = g_c.dtype
+        eye6 = jnp.eye(6, dtype=dt)
+        eye3 = jnp.eye(3, dtype=dt)
+        # identical damping/pinning semantics to _solve_cached_inner
+        dHcc = Hcc + u * eye6 * jnp.diagonal(
+            Hcc, axis1=-2, axis2=-1)[..., None, :]
+        dcc = jnp.diagonal(dHcc, axis1=-2, axis2=-1)
+        dHcc = dHcc + eye6 * (1e-12 * (1.0 + jnp.max(dcc)))
+
+        b = -g_c
+        tdat = []
+        Hpi_l = []
+        for tc, g_p, Hpp, Wb in zip(tcs, cache.g_p, cache.Hpp, cache.Wb):
+            dHpp = Hpp + u * eye3 * jnp.diagonal(
+                Hpp, axis1=-2, axis2=-1)[..., None, :] + 1e-12 * eye3
+            Hpi = _inv3_batched(dHpp)
+            Y = jnp.einsum("pkmn,pnl->pkml", Wb, Hpi)     # (Pv, K, 6, 3)
+            yg = jnp.einsum("pkml,pl->pkm", Y, g_p)       # (Pv, K, 6)
+            b = b + _reduce_to_cams(tc.cam, M, yg.reshape(-1, 6))
+            tdat.append((Wb, Y, tc.cam))
+            Hpi_l.append(Hpi)
+
+        bb = b.at[0].set(0.0) if pstat.fix_first else b
+        dc = solve_schur_cg_pm_tiers(
+            dHcc, tuple(tdat), bb, fix_first=pstat.fix_first
+        )
+
+        # back-substitution + predicted decrease, tier-native
+        d_cc = jnp.diagonal(Hcc, axis1=-2, axis2=-1)
+        q1 = 0.5 * jnp.sum(dc * (u * d_cc * dc - g_c))
+        from .dist_solve import _sel_pack3, _sel_unpack3
+
+        dcs3 = _sel_pack3(dc)
+        dX_l = []
+        for tc, g_p, Hpp, (Wb, Y, _), Hpi in zip(
+                tcs, cache.g_p, cache.Hpp, tdat, Hpi_l):
+            from .dist_solve import pm_onehot
+
+            Pv, K = Wb.shape[:2]
+            dce = _sel_unpack3(
+                jax.lax.dot_general(
+                    pm_onehot(tc.cam, M, dt), dcs3, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dt,
+                ), 6,
+            ).reshape(Pv, K, 6)
+            wtdc = jnp.einsum("pkml,pkm->pl", Wb, dce)    # (Pv, 3)
+            dX = jnp.einsum("pab,pb->pa", Hpi, -g_p - wtdc)
+            d_pp = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+            q1 = q1 + 0.5 * jnp.sum(dX * (u * d_pp * dX - g_p))
+            dX_l.append(dX)
+        return dc, tuple(dX_l), q1
 
 
 def _linearize(prob: VisualBAProblem, consts, R, t, X) -> _LinCache:
@@ -453,6 +651,60 @@ def _lm_device_loop(pstat, consts, pa, pb, tiers, R0_, t0_, X0_,
     return R_, t_, X_, cache0.cost, cache_.cost, it_
 
 
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _lm_device_loop_tiers(pstat, cam, tcs, R0_, t0_, X0ts,
+                          max_iters, u_init, rel_tol):
+    """Tier-native LM: the whole loop touches observations ONLY in
+    point-major (Pv, K) tier layout — pose expansion and camera
+    reductions are exact selection matmuls against one-hots hoisted out
+    of the entire solve; point reductions are K-axis sums.  Same
+    Nielsen/acceptance/caching semantics as _lm_device_loop."""
+    dtype = R0_.dtype
+    cache0 = _linearize_tiers(pstat, cam, tcs, R0_, t0_, X0ts)
+    state = (
+        R0_, t0_, X0ts, cache0,
+        jnp.asarray(u_init, dtype), jnp.asarray(2.0, dtype),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
+    )
+
+    def body(_i, s):
+        R_, t_, Xts_, cache_, u_, v_, it_, done_ = s
+        dc, dXts, q1 = _solve_cached_tiers(pstat, tcs, cache_, u_)
+        R_t = jnp.matmul(
+            R_, exp_so3(dc[:, 0:3]), precision=jax.lax.Precision.HIGHEST
+        )
+        t_t = t_ + dc[:, 3:6]
+        Xts_t = tuple(X + dX for X, dX in zip(Xts_, dXts))
+        cache_t = _linearize_tiers(pstat, cam, tcs, R_t, t_t, Xts_t)
+        c_prev_ = cache_.cost
+        c_new = cache_t.cost
+        q = c_prev_ - c_new
+        accept = q > 0
+        qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
+        u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+        u_new = jnp.where(accept, u_acc, u_ * v_)
+        v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
+        conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
+        stall = (~accept) & (u_new > 1e12)
+        frz = lambda new, old: jnp.where(done_, old, new)
+        sel = lambda new, old: frz(jnp.where(accept, new, old), old)
+        return (
+            sel(R_t, R_),
+            sel(t_t, t_),
+            jax.tree.map(sel, Xts_t, Xts_),
+            jax.tree.map(sel, cache_t, cache_),
+            frz(u_new, u_),
+            frz(v_new, v_),
+            jnp.where(done_, it_, it_ + 1),
+            done_ | conv | stall,
+        )
+
+    R_, t_, Xts_, cache_, u_, v_, it_, done_ = jax.lax.fori_loop(
+        0, max_iters, body, state
+    )
+    return R_, t_, Xts_, cache0.cost, cache_.cost, it_
+
+
 def solve_visual_ba(
     prob: VisualBAProblem,
     R0: np.ndarray,
@@ -499,6 +751,64 @@ def solve_visual_ba(
             int(np.asarray(prob.obs_pt).shape[0]), Q,
             int(counts.max()) if counts.size else 0,
         )
+    if (resolved == "cg_mf" and mesh is None and device_loop and not verbose
+            and os.environ.get("LVBA_VISUAL_TIER", "1") == "1"):
+        # TIER-NATIVE route: observations live in point-major tier layout
+        # for the WHOLE solve.  Requires every point to carry at least one
+        # observation (tier rows are exactly the observed points; the
+        # track builder guarantees >= 2 obs per point) — otherwise fall
+        # through to the flat path whose plane-only points still move.
+        tt = _tier_tables(
+            np.asarray(prob.obs_cam, np.int32),
+            np.asarray(prob.obs_pt, np.int32), prob.num_cams,
+        )
+        covered = sum(int(pt.shape[0]) for pt, _, _, _ in tt)
+        # the tier-resident W/Y coupling blocks (2 copies held across the
+        # solve) are the only O(Pv*K) float footprint — one-hots are
+        # generated inline from the int32 ids, never materialized
+        itemsize = jnp.dtype(dtype).itemsize
+        tier_bytes = sum(
+            idx.shape[0] * idx.shape[1] * 2 * 18 * itemsize
+            for _, idx, _, _ in tt
+        )
+        if covered == prob.num_pts and tier_bytes <= int(os.environ.get(
+                "LVBA_PM_ONEHOT_BUDGET", str(4 << 30))):
+            uvp = np.concatenate(
+                [np.asarray(prob.obs_uv, np.float64),
+                 np.zeros((1, 2), np.float64)]
+            ).astype(dtype)
+            zeros_nd = not prob.use_plane
+            tcs = tuple(
+                _TierConst(
+                    uv=jnp.asarray(uvp[idx]),
+                    cam=jnp.asarray(cam_t),
+                    n=jnp.zeros((pt.shape[0], 3), dtype) if zeros_nd
+                    else jnp.asarray(
+                        np.asarray(prob.plane_n)[pt].astype(dtype)),
+                    d=jnp.zeros((pt.shape[0],), dtype) if zeros_nd
+                    else jnp.asarray(
+                        np.asarray(prob.plane_d)[pt].astype(dtype)),
+                )
+                for pt, idx, cam_t, _ in tt
+            )
+            X0a = np.asarray(X0)
+            X0ts = tuple(
+                jnp.asarray(X0a[pt].astype(dtype)) for pt, _, _, _ in tt
+            )
+            R_f, t_f, Xts_f, c0_j, c_f, it_j = _lm_device_loop_tiers(
+                _pstat(prob), prob.cam, tcs,
+                jnp.asarray(np.asarray(R0).astype(dtype)),
+                jnp.asarray(np.asarray(t0).astype(dtype)),
+                X0ts, int(max_iters), float(u_init), float(rel_tol),
+            )
+            X_f = jnp.asarray(X0a.astype(dtype))
+            for (pt, _, _, _), Xt in zip(tt, Xts_f):
+                X_f = X_f.at[jnp.asarray(pt)].set(Xt)
+            return VisualBAResult(
+                R=R_f, t=t_f, X=X_f,
+                iters=int(it_j), cost0=float(c0_j), cost=float(c_f),
+            )
+
     tiers = ()
     if resolved == "cg_mf":
         # matrix-free reduced solve: the O(Σ track_len²) pair list is

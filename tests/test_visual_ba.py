@@ -281,3 +281,73 @@ def test_point_major_matvec_matches_mf():
     ))
     dc_pm = np.asarray(solve_schur_cg_pm(*args, tiers, jnp.asarray(b)))
     np.testing.assert_allclose(dc_pm, dc_mf, rtol=1e-6, atol=1e-9)
+
+
+class TestTierNativeVisual:
+    """The tier-native LM loop (schur._lm_device_loop_tiers) must solve
+    the same problem as the flat cg_mf path: identical initial cost
+    (same linearization point), converged states within float rounding,
+    for both plane and no-plane problems."""
+
+    def _scene(self):
+        R, t, X, pn, pd, oc, op, uv = make_visual_scene(M=10, P=150, seed=5)
+        rng = np.random.default_rng(9)
+        t_init = t + rng.normal(scale=0.02, size=t.shape)
+        t_init[0] = t[0]
+        X_init = X + rng.normal(scale=0.03, size=X.shape)
+        prob = VisualBAProblem(
+            cam=CAM, obs_cam=oc, obs_pt=op, obs_uv=uv,
+            plane_n=pn, plane_d=pd, num_cams=R.shape[0], num_pts=X.shape[0],
+            reduced_solver="cg_mf",
+        )
+        return prob, R, t_init, X_init
+
+    def _run_both(self, prob, R, t_init, X_init, monkeypatch):
+        import dataclasses as dc
+
+        monkeypatch.setenv("LVBA_VISUAL_TIER", "0")
+        r0 = solve_visual_ba(prob, R, t_init, X_init, max_iters=30)
+        monkeypatch.setenv("LVBA_VISUAL_TIER", "1")
+        r1 = solve_visual_ba(prob, R, t_init, X_init, max_iters=30)
+        return r0, r1
+
+    def test_matches_flat_path(self, monkeypatch):
+        prob, R, t_init, X_init = self._scene()
+        r0, r1 = self._run_both(prob, R, t_init, X_init, monkeypatch)
+        # same cost at the same state (summation order differs per tier)
+        np.testing.assert_allclose(r1.cost0, r0.cost0, rtol=1e-12)
+        assert r1.cost < 1e-9 * r1.cost0     # converged
+        np.testing.assert_allclose(np.asarray(r1.R), np.asarray(r0.R),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r0.t),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r1.X), np.asarray(r0.X),
+                                   atol=5e-4)
+
+    def test_matches_flat_path_no_plane(self, monkeypatch):
+        import dataclasses as dc
+
+        prob, R, t_init, X_init = self._scene()
+        prob = dc.replace(prob, use_plane=False)
+        r0, r1 = self._run_both(prob, R, t_init, X_init, monkeypatch)
+        np.testing.assert_allclose(r1.cost0, r0.cost0, rtol=1e-12)
+        assert r1.cost < 1e-9 * r1.cost0
+
+    def test_unobserved_camera_pinned_tier(self, monkeypatch):
+        """Zero-observation cameras must stay exactly fixed in the
+        tier-native route (epsilon pinning, Ceres constant-block
+        semantics)."""
+        prob, R, t_init, X_init = self._scene()
+        M = prob.num_cams + 2
+        R2 = np.concatenate([R, R[:2]])
+        t2 = np.concatenate([t_init, t_init[:2] + 5.0])
+        import dataclasses as dc
+
+        prob2 = dc.replace(prob, num_cams=M)
+        monkeypatch.setenv("LVBA_VISUAL_TIER", "1")
+        res = solve_visual_ba(prob2, R2, t2, X_init, max_iters=20)
+        assert res.cost < 1e-6 * res.cost0
+        np.testing.assert_allclose(np.asarray(res.R)[-2:], R2[-2:],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.t)[-2:], t2[-2:],
+                                   atol=1e-12)
