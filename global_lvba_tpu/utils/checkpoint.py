@@ -46,7 +46,15 @@ class StageCheckpoint:
         np_arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )
-        np.savez_compressed(self.path(stage), **np_arrays)
+        # atomic publish: a crash/kill mid-write must never leave a
+        # truncated .npz that has() would report as a valid checkpoint
+        # (failure-injection test: tests/test_system.py::TestFailureInjection)
+        import os
+
+        # name must keep the .npz suffix (savez appends it otherwise)
+        tmp = self.dir / f"{stage}.tmp.npz"
+        np.savez_compressed(tmp, **np_arrays)
+        os.replace(tmp, self.path(stage))
 
     def load(self, stage: str) -> Dict:
         data = np.load(self.path(stage), allow_pickle=False)

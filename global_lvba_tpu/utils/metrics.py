@@ -32,7 +32,12 @@ class MetricsRegistry:
 
 
 class StageTimer:
-    """Context-manager timer recording into a registry."""
+    """Context-manager timer recording wall time plus memory observability
+    per stage (the check_mem analogue the reference sprinkles through the
+    solve, /root/reference/include/BALM/bavoxel.hpp:769-795): host VmRSS
+    after the stage and the device allocator's cumulative peak — HBM
+    limits are a real failure mode here (the W=4096 dense H is 2.4 GB;
+    at 8192 it would be 9.7 GB and not fit, hence the compact path)."""
 
     def __init__(self, registry: Optional[MetricsRegistry] = None):
         self.registry = registry or MetricsRegistry()
@@ -45,6 +50,15 @@ class StageTimer:
         finally:
             dt = time.perf_counter() - t0
             self.registry.add(f"time/{name}_s", dt)
+            rss = rss_mb()
+            if rss >= 0:
+                self.registry.set(f"mem/{name}_rss_mb", round(rss, 1))
+            hbm = hbm_stats()
+            if hbm:
+                self.registry.set(
+                    f"mem/{name}_hbm_peak_mb",
+                    round(hbm.get("peak_bytes_in_use", 0) / 2**20, 1),
+                )
 
 
 def rss_mb() -> float:
@@ -57,6 +71,19 @@ def rss_mb() -> float:
     except OSError:
         pass
     return -1.0
+
+
+def hbm_stats() -> Dict[str, int]:
+    """Device-memory allocator stats for the default device: bytes_in_use
+    / peak_bytes_in_use / bytes_limit when the backend exposes them (TPU
+    does; CPU returns {}).  The device-side half of check_mem."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        return dict(stats) if stats else {}
+    except Exception:
+        return {}
 
 
 def compute_mad(residuals) -> float:
