@@ -305,26 +305,26 @@ def _lm_jitted(
             res1, res2, q1, u, v, rel_tol
         )
 
-        R_new = jnp.where(accept, R_t, R)
-        p_new = jnp.where(accept, p_t, p)
-        g_new = jnp.where(accept, g_t, g)
-        H_new = jnp.where(accept, H_t, H)
-        res1_new = jnp.where(accept, res2, res1)
-
         # The loop is a FIXED-trip fori_loop with done-masking, not a
         # while_loop: a dynamic trip count de-optimizes the whole body on
         # TPU (~100x per-iteration slowdown measured through this backend).
         # Once converged, the state freezes and the remaining iterations
-        # are cheap replays of an unchanged state.
+        # are cheap replays of an unchanged state.  The accept-select and
+        # done-freeze are ONE fused where (keep = accept & ~done): a
+        # scalar-predicate select over the (6W, 6W) H costs ~1.7 ms per
+        # pass at W = 512 (round-5 chip decomposition) and the old
+        # two-where chain paid it twice.
+        keep = accept & jnp.logical_not(done)
+        sel = lambda new, old: jnp.where(keep, new, old)
         frz = lambda new, old: jnp.where(done, old, new)
         return (
-            frz(R_new, R),
-            frz(p_new, p),
+            sel(R_t, R),
+            sel(p_t, p),
             frz(u_new, u),
             frz(v_new, v),
-            frz(res1_new, res1),
-            frz(g_new, g),
-            frz(H_new, H),
+            sel(res2, res1),
+            sel(g_t, g),
+            sel(H_t, H),
             jnp.where(done, it, it + 1),
             done | converged,
         )
@@ -578,15 +578,13 @@ def _lm_banded_jitted(groups_all, R0, p0, max_iters, u_init, v_init,
         accept, u_new, v_new, converged = _nielsen_update(
             res1, res2, q1, u, v, rel_tol
         )
-        R_new = jnp.where(accept, R_t, R)
-        p_new = jnp.where(accept, p_t, p)
-        g_new = jnp.where(accept, g_t, g)
-        H_new = jnp.where(accept, H_t, H)
-        res1_new = jnp.where(accept, res2, res1)
+        # fused accept-select + done-freeze (one where pass over the
+        # banded H, not two — see _lm_jitted)
+        sel = lambda new, old: jnp.where(accept & ~done, new, old)
         frz = lambda new, old: jnp.where(done, old, new)
         return (
-            frz(R_new, R), frz(p_new, p), frz(u_new, u), frz(v_new, v),
-            frz(res1_new, res1), frz(g_new, g), frz(H_new, H),
+            sel(R_t, R), sel(p_t, p), frz(u_new, u), frz(v_new, v),
+            sel(res2, res1), sel(g_t, g), sel(H_t, H),
             jnp.where(done, it, it + 1), done | converged,
         )
 

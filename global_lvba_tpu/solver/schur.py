@@ -633,7 +633,8 @@ def _lm_device_loop(pstat, consts, pa, pb, tiers, R0_, t0_, X0_,
         conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
         stall = (~accept) & (u_new > 1e12)
         frz = lambda new, old: jnp.where(done_, old, new)
-        sel = lambda new, old: frz(jnp.where(accept, new, old), old)
+        # one fused where pass over the O-scale cache, not two
+        sel = lambda new, old: jnp.where(accept & ~done_, new, old)
         return (
             sel(R_t, R_),
             sel(t_t, t_),
@@ -687,7 +688,8 @@ def _lm_device_loop_tiers(pstat, cam, tcs, R0_, t0_, X0ts,
         conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
         stall = (~accept) & (u_new > 1e12)
         frz = lambda new, old: jnp.where(done_, old, new)
-        sel = lambda new, old: frz(jnp.where(accept, new, old), old)
+        # one fused where pass over the O-scale cache, not two
+        sel = lambda new, old: jnp.where(accept & ~done_, new, old)
         return (
             sel(R_t, R_),
             sel(t_t, t_),
