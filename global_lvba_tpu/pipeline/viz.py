@@ -55,3 +55,38 @@ def export_track_compare(
     out_dir.mkdir(parents=True, exist_ok=True)
     write_pcd(out_dir / "tracks_before.pcd", np.asarray(points_before, np.float32))
     write_pcd(out_dir / "tracks_after.pcd", np.asarray(points_after, np.float32))
+
+
+def launch_viewer(out_dir, block: bool = True) -> bool:
+    """OPTIONAL interactive viewer for the exported PCDs — closes the UX
+    gap with the reference's live rviz session (rviz_cfg/lv_ba.rviz,
+    lvba_system.cpp:117-125) when a display and open3d are available.
+    TPU hosts are headless and open3d is not a dependency, so this
+    degrades gracefully: returns False (with a hint) when the viewer
+    cannot run; the PCD/PNG exports remain the primary artifact."""
+    out_dir = Path(out_dir)
+    pcds = sorted(out_dir.rglob("*.pcd"))
+    if not pcds:
+        print(f"[viewer] no PCD exports under {out_dir}")
+        return False
+    try:
+        import open3d as o3d  # optional; not in the base image
+    except ImportError:
+        print(
+            "[viewer] open3d not installed — open the exports in any PCD "
+            "viewer (CloudCompare, pcl_viewer, open3d):\n  "
+            + "\n  ".join(str(p) for p in pcds[:8])
+        )
+        return False
+    geoms = []
+    for pth in pcds:
+        try:
+            g = o3d.io.read_point_cloud(str(pth))
+            if len(g.points):
+                geoms.append(g)
+        except Exception:
+            continue
+    if not geoms:
+        return False
+    o3d.visualization.draw_geometries(geoms) if block else None
+    return True

@@ -351,3 +351,29 @@ class TestTierNativeVisual:
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(res.t)[-2:], t2[-2:],
                                    atol=1e-12)
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """The closed-form reprojection Jacobians must equal the forward-mode
+    autodiff oracle to f64 rounding, including behind-camera (Z-gated)
+    observations whose residual AND Jacobian rows are exactly zero."""
+    from scipy.spatial.transform import Rotation
+
+    from global_lvba_tpu.factors.reprojection import (
+        _reproj_jacobians_jacfwd, reproj_jacobians_expanded,
+    )
+
+    rng = np.random.default_rng(0)
+    N = 500
+    R = jnp.asarray(Rotation.random(N, random_state=1).as_matrix())
+    t = jnp.asarray(rng.normal(size=(N, 3)))
+    X = jnp.asarray(rng.normal(scale=3.0, size=(N, 3)))
+    uv = jnp.asarray(rng.uniform(0, 500, size=(N, 2)))
+    r1, Jc1, Jp1 = reproj_jacobians_expanded(CAM, R, t, X, uv, 0.5)
+    r0, Jc0, Jp0 = _reproj_jacobians_jacfwd(CAM, R, t, X, uv, 0.5)
+    Z = (jnp.einsum("nij,nj->ni", R, X) + t)[:, 2]
+    assert int(jnp.sum(Z <= 1e-8)) > 50  # the gate is actually exercised
+    for a, b in ((r0, r1), (Jc0, Jc1), (Jp0, Jp1)):
+        d = float(jnp.max(jnp.abs(a - b)))
+        scale = float(jnp.max(jnp.abs(a)))
+        assert d / scale < 1e-12
