@@ -42,11 +42,19 @@ from ..geometry.so3 import hat
 def _gram_precision():
     """Matmul precision of the -MᵀM Gram only (selection matmuls use the
     exact bf16-split scheme below — they must not round the factor rows).
-    f32 HIGHEST is six bf16 passes; HIGH is three (~2^-21 relative).
-    Default HIGH by measurement (TPU v5e, W=512 sweep, round 4): converged
-    ATE identical to HIGHEST at 0.000673 m across every variant while the
-    Gram drops 6.5 -> ~3.4 ms/eval; env knob to restore HIGHEST."""
-    name = os.environ.get("LVBA_GRAM_PRECISION", "high").lower()
+    f32 HIGHEST is six bf16 passes; HIGH three; DEFAULT one (~2^-8
+    relative per product, f32 accumulation).
+
+    Default DEFAULT by measurement (TPU v5e, round-5 gate sweep):
+    converged ATE is bit-identical on the w512 (0.000673) and w50
+    (0.002227, residual to 8 decimals) fixtures and within 0.2% of the
+    noise floor on the corridor banded path, while W=512 eval drops
+    11.1 -> 8.9 ms and the full LM iteration 19.7 -> 16.8.  Safe because
+    the Gram feeds only H (curvature): the LM residual/acceptance path
+    never sees it, so Gram rounding perturbs step QUALITY at worst and
+    the Nielsen test rejects any step it degrades.  LVBA_GRAM_PRECISION
+    restores high/highest."""
+    name = os.environ.get("LVBA_GRAM_PRECISION", "default").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
