@@ -30,6 +30,9 @@ from global_lvba_tpu.models.synthetic import (
 )
 from global_lvba_tpu.pipeline.lidar_ba import run_lidar_ba
 
+# slow tier: full-suite runs only (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_scene():

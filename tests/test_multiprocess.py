@@ -16,6 +16,9 @@ import textwrap
 import numpy as np
 import pytest
 
+# slow tier: full-suite runs only (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 _WORKER = textwrap.dedent(
     """
     import os, sys

@@ -12,6 +12,10 @@ from global_lvba_tpu.parallel.shard import (
     lm_damping_iter_sharded,
 )
 from global_lvba_tpu.solver.lm import lm_damping_iter
+import pytest
+
+# slow tier: full-suite runs only (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 
 def build(num_frames=6, ppf=2000, seed=0):

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from global_lvba_tpu.parallel.mesh import make_mesh
 from global_lvba_tpu.parallel.spatial import (
@@ -12,6 +13,9 @@ from global_lvba_tpu.parallel.spatial import (
     partition_buckets_morton,
     spatial_partition,
 )
+
+# slow tier: full-suite runs only (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
 
 
 class TestMorton:
