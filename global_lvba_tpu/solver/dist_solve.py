@@ -292,7 +292,7 @@ def solve_schur_cg_pm(
     tiers,
     b: jnp.ndarray,
     fix_first: bool = True,
-    max_iters: int = 96,
+    max_iters: int = 48,
     tol: float = 1e-10,
 ) -> jnp.ndarray:
     """POINT-MAJOR matrix-free reduced-camera solve.
@@ -314,13 +314,16 @@ def solve_schur_cg_pm(
     (outside the CG loop).  Padded slots carry zero W/Y rows and an
     out-of-range cam id, so they contribute exactly nothing.
 
-    max_iters is 96 (the mf path used 256): the fixed-trip done-masked
-    loop pays every trip whether converged or not, and an LM outer loop
-    tolerates an inexact inner solve — a truncated CG iterate on an SPD
-    system is still a descent direction, and the Nielsen acceptance test
-    rejects any step the truncation made bad (inexact-Newton semantics;
-    Ceres' ITERATIVE_SCHUR similarly runs loose inner tolerances).
-    Raise LVBA_PM_CG_ITERS for pathologically conditioned problems."""
+    max_iters is 48 (round 4 used 96; the mf path 256): the fixed-trip
+    done-masked loop pays every trip whether converged or not, and an LM
+    outer loop tolerates an inexact inner solve — a truncated CG iterate
+    on an SPD system is still a descent direction, and the Nielsen
+    acceptance test rejects any step the truncation made bad
+    (inexact-Newton semantics; Ceres' ITERATIVE_SCHUR similarly runs
+    loose inner tolerances).  Measured at m1000 (round 5, 10-outer
+    budget): trips 48 and 96 converge to the IDENTICAL cost 62940.0
+    while 48 is 27% faster end-to-end (0.88 vs 1.21 s).  Raise
+    LVBA_PM_CG_ITERS for pathologically conditioned problems."""
     import os
 
     max_iters = int(os.environ.get("LVBA_PM_CG_ITERS", str(max_iters)))
@@ -358,7 +361,7 @@ def solve_schur_cg_pm_tiers(
     tdat,
     b: jnp.ndarray,
     fix_first: bool = True,
-    max_iters: int = 96,
+    max_iters: int = 48,
     tol: float = 1e-10,
 ) -> jnp.ndarray:
     """Point-major CG core on TIER-RESIDENT data: tdat is a tuple of
