@@ -36,6 +36,7 @@ Remaining simplification vs Lowe 2004: one refinement iteration.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -103,10 +104,27 @@ def _upsample2_matrix_np(n: int) -> np.ndarray:
     return U
 
 
+def _blur_precision():
+    """Matmul precision of the Gaussian-pyramid Toeplitz blurs.  Kept at
+    HIGHEST by round-5 chip A/B (scripts/probe_sift_precision.py): HIGH
+    finds the identical keypoint set at identical positions but is NOT
+    faster (53.9 vs 55.4 ms/img with fetch — the pyramid stage is
+    HBM-bandwidth-bound on its (L, 2H, 2W) level tensors, not
+    MXU-pass-bound), while descriptor values drift (L2 mean 0.26 on
+    unit-norm descriptors, driven by orientation sensitivity) — pure risk
+    for zero win.  LVBA_SIFT_BLUR_PRECISION overrides for experiments."""
+    name = os.environ.get("LVBA_SIFT_BLUR_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 def _gauss_levels_matmul(base: jnp.ndarray, sigmas, upsample2: bool = False) -> jnp.ndarray:
     """Blur `base` (H, W) by each sigma at once: (L, H, W) (or (L, 2H, 2W)
-    with upsample2) via two batched MXU matmuls (HIGHEST precision: DoG
-    thresholds at the 1e-2 scale do not survive bf16 accumulation).
+    with upsample2) via two batched MXU matmuls (precision: see
+    _blur_precision).
 
     upsample2 folds the first-octave 2x bilinear upsample INTO the blur
     operands (T @ U as one jit-time constant): the upsampled image is
@@ -124,9 +142,9 @@ def _gauss_levels_matmul(base: jnp.ndarray, sigmas, upsample2: bool = False) -> 
     else:
         Tv = jnp.asarray(np.stack([_toeplitz_gauss_np(H, s) for s in sigmas]))
         Th = jnp.asarray(np.stack([_toeplitz_gauss_np(W, s) for s in sigmas]))
-    with jax.default_matmul_precision("highest"):
-        t = jnp.einsum("lyk,kx->lyx", Tv, base)
-        return jnp.einsum("lyx,lxw->lyw", t, Th)
+    prec = _blur_precision()
+    t = jnp.einsum("lyk,kx->lyx", Tv, base, precision=prec)
+    return jnp.einsum("lyx,lxw->lyw", t, Th, precision=prec)
 
 
 def _resize_half(img: jnp.ndarray) -> jnp.ndarray:
