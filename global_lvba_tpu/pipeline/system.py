@@ -39,6 +39,13 @@ class LvbaSystem:
         resume: bool = True,
     ):
         setup_logging()
+        # fresh-process cold starts are dominated by XLA compiles
+        # (ladder-3: 110.8 s cold vs 9.0 s steady); reuse executables
+        # across processes (utils/compile_cache.py; LVBA_COMPILE_CACHE=0
+        # opts out)
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.ds = dataset if dataset is not None else load_dataset(cfg)
         self.out_dir = Path(out_dir) if out_dir else self.ds.root / "lvba_out"
