@@ -123,7 +123,7 @@ def bench_lidar_w50(light: bool = False):
         scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
         voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
     )
-    buckets = buckets_to_device(vm, dtype=jnp.float32)
+    buckets = buckets_to_device(vm, dtype=jnp.float32, W=W)
 
     inits = []
     for s in range(1, 4 if light else 7):
@@ -338,24 +338,25 @@ def bench_w512():
         scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
         voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
     )
-    buckets = buckets_to_device(vm, dtype=jnp.float32)
+    # the density gate picks the frame-aligned layout here (59% dense
+    # (voxel, frame) occupancy): selection-free eval, round-5 layout win
+    buckets = buckets_to_device(vm, dtype=jnp.float32, W=W)
+    buckets_bk = buckets_to_device(vm, dtype=jnp.float32, layout="bucketed")
     Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
     R = jax.device_put(jnp.asarray(Rp, jnp.float32))
     p = jax.device_put(jnp.asarray(pp, jnp.float32))
 
-    # measure BOTH Hessian-assembly paths (one-hot expansion vs the
-    # GatherPlan frame-major gather) and headline the faster: the winner
-    # is hardware-measured, not assumed
+    # measure BOTH layouts (frame-aligned dense vs bucketed one-hot) and
+    # headline the faster: the winner is hardware-measured, not assumed
     lm_ms = {}
     res = None
-    for name, gt in (("default", False), ("gather", True)):
-        r_ = lm_damping_iter(buckets, R, p, max_iters=ITERS, gather_tables=gt)
+    for name, bks in (("default", buckets), ("bucketed", buckets_bk)):
+        r_ = lm_damping_iter(bks, R, p, max_iters=ITERS)
         np.asarray(r_.R)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            r_ = lm_damping_iter(buckets, R, p, max_iters=ITERS,
-                                 gather_tables=gt)
+            r_ = lm_damping_iter(bks, R, p, max_iters=ITERS)
             np.asarray(r_.R)
             ts.append(time.perf_counter() - t0)
         lm_ms[name] = min(ts)
@@ -384,43 +385,46 @@ def bench_w512():
     # underrepresents MXU utilization).
     #
     # MFU numerator: the ALGORITHMIC flops of the f32 evaluation, counted
-    # from the LVBA_EXACT_DOTS=0 graph (the rounds-2/3 definition, so the
-    # w512_mfu_pct series stays like-for-like).  The production graph's
-    # own counted flops are higher (the exact bf16-split scheme packs 3
-    # mantissa slices into each selection operand and adds the pose
-    # expansion matmul) — reported separately as *_counted.
+    # from the BUCKETED LVBA_EXACT_DOTS=0 graph (the rounds-2/3
+    # definition, so the w512_mfu_pct series stays like-for-like).  The
+    # production frame-aligned graph computes the identical outputs with
+    # FEWER executed flops (its selection contractions do not exist);
+    # its own counted flops are reported as *_counted.
     mfu = {}
     try:
-        from global_lvba_tpu.factors.plane_eigen import build_gather_plan
         from global_lvba_tpu.solver.lm import _total_cgh
 
-        plans = tuple(build_gather_plan(fa, W) for fa in buckets)
         peak_tflops = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
         REPS = 6
 
-        def counted_flops(invs):
+        def counted_flops(bks):
             fn1 = jax.jit(
-                lambda R_, p_: _total_cgh(buckets, R_, p_, W, invs=invs)
+                lambda R_, p_: _total_cgh(bks, R_, p_, W)
             )
             ca = fn1.lower(R, p).compile().cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0]
             return float(ca.get("flops", 0.0))
 
+        # series numerator (rounds 2-5 like-for-like): the algorithmic
+        # flops of the BUCKETED f32 one-hot graph.  The aligned layout
+        # computes the identical (resid, g, H) outputs with fewer
+        # executed flops (no selection contractions exist in it), so its
+        # own counted flops are ALSO recorded (w512_eval_flops_counted)
         os.environ["LVBA_EXACT_DOTS"] = "0"
         try:
-            flops_logical = counted_flops(None)
+            flops_logical = counted_flops(buckets_bk)
         finally:
             os.environ.pop("LVBA_EXACT_DOTS", None)
 
-        for name, invs in (("default", None), ("gather", plans)):
-            flops_counted = counted_flops(invs)
+        for name, bks in (("default", buckets), ("bucketed", buckets_bk)):
+            flops_counted = counted_flops(bks)
 
             @jax.jit
             def eval_loop(R_, p_):
                 def body(_i, carry):
                     Rc, pc, acc = carry
-                    r, g, H = _total_cgh(buckets, Rc, pc, W, invs=invs)
+                    r, g, H = _total_cgh(bks, Rc, pc, W)
                     # g and H must stay LIVE or XLA DCEs the Gram assembly
                     # and the probe times a residual-only graph (abs blocks
                     # linear sum-rewrites)

@@ -10,13 +10,18 @@ is uniform so the LM trajectory is unchanged.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..map.voxelize import PlaneFactorBucket, VoxelMap
-from .plane_eigen import PlaneFactorArrays, bucket_to_device
+from .plane_eigen import (
+    AlignedPlaneFactorArrays,
+    PlaneFactorArrays,
+    bucket_to_device,
+)
 
 
 def _next_pow2(n: int) -> int:
@@ -36,15 +41,30 @@ def pad_bucket(b: PlaneFactorBucket, v_pad: int) -> PlaneFactorBucket:
 
 
 def buckets_to_device(
-    vm: VoxelMap, dtype=jnp.float32, pad: bool = True, merge: str = "auto"
+    vm: VoxelMap, dtype=jnp.float32, pad: bool = True, merge: str = "auto",
+    W: int = None, layout: str = "auto",
 ) -> List[PlaneFactorArrays]:
     """Device factor arrays from a voxel map.
 
     merge: 'always' fuses all occupancy tiers into ONE (V, K_max) bucket.
     Measured slower on TPU v5e (the K-padding's extra elementwise work
     outweighs the saved dispatches), so 'auto' currently keeps the tiers.
+
+    W + layout: with the solve width known, layout='auto' switches to the
+    frame-ALIGNED dense layout (one (V, W) bucket, slot k == frame k; see
+    AlignedPlaneFactorArrays) when the dense cell count V·W is within
+    LVBA_ALIGNED_RATIO (default 2.5) of the bucketed entry count — it
+    removes every frame-selection contraction from the evaluation, the
+    measured bulk of the dense-occupancy eval cost.  layout='aligned'
+    forces it, layout='bucketed' disables it.
     """
     bs = vm.buckets
+    if W is not None and layout in ("auto", "aligned") and bs:
+        dense_cells = sum(b.n.shape[0] for b in bs) * W
+        entry_cells = sum(int(np.prod(b.n.shape)) for b in bs)
+        ratio = float(os.environ.get("LVBA_ALIGNED_RATIO", "2.5"))
+        if layout == "aligned" or dense_cells <= ratio * entry_cells:
+            return [aligned_to_device(bs, W, dtype=dtype, pad=pad)]
     if len(bs) > 1 and merge == "always":
         kmax = max(b.n.shape[1] for b in bs)
         merged = PlaneFactorBucket(
@@ -60,6 +80,40 @@ def buckets_to_device(
             b = pad_bucket(b, _next_pow2(b.n.shape[0]))
         out.append(bucket_to_device(b, dtype=dtype))
     return out
+
+
+def aligned_to_device(
+    bs: Sequence[PlaneFactorBucket], W: int, dtype=jnp.float32,
+    pad: bool = True,
+) -> AlignedPlaneFactorArrays:
+    """Scatter bucketed (V, K) entries into the frame-aligned dense
+    (V_total, W) grid: cell (v, f) holds the moments voxel v observed in
+    frame f (each voxel observes a frame at most once), all other cells
+    zero.  V padded to the next power of two for executable reuse."""
+    Vt = sum(b.n.shape[0] for b in bs)
+    Vp = _next_pow2(Vt) if pad else Vt
+    n = np.zeros((Vp, W), dtype=np.float64)
+    mu = np.zeros((Vp, W, 3), dtype=np.float64)
+    Pc = np.zeros((Vp, W, 3, 3), dtype=np.float64)
+    off = 0
+    for b in bs:
+        V = b.n.shape[0]
+        vi, ki = np.nonzero(b.n > 0)
+        f = b.frame[vi, ki].astype(np.int64)
+        if f.size and (f.min() < 0 or f.max() >= W):
+            raise ValueError(
+                f"bucket frame ids span [{f.min()}, {f.max()}] outside the "
+                f"aligned width W={W}"
+            )
+        n[off + vi, f] = b.n[vi, ki]
+        mu[off + vi, f] = b.mu[vi, ki]
+        Pc[off + vi, f] = b.Pc[vi, ki]
+        off += V
+    return AlignedPlaneFactorArrays(
+        n=jnp.asarray(n, dtype=dtype),
+        mu=jnp.asarray(mu, dtype=dtype),
+        Pc=jnp.asarray(Pc, dtype=dtype),
+    )
 
 
 def _pad_k(x: np.ndarray, kmax: int) -> np.ndarray:

@@ -149,6 +149,46 @@ class PlaneFactorArrays(NamedTuple):
     frame: jnp.ndarray  # (V, K) i32
 
 
+class AlignedPlaneFactorArrays(NamedTuple):
+    """Frame-ALIGNED dense factor layout: slot k IS frame k.
+
+    Every voxel row spans the full frame axis (V, W); cells the voxel does
+    not observe carry n == 0 and contribute exactly zero through the same
+    masking the padded buckets rely on.  The payoff is structural: all
+    three frame-selection contractions of the bucketed evaluation
+    disappear —
+
+      * pose expansion   -> a (1, W) broadcast of the pose channels,
+      * g / Hd assembly  -> a plain sum over the voxel axis,
+      * the M factor-row expansion -> the identity (rows ARE (V, W, 18)).
+
+    The (VK, W) one-hot those contractions share is the measured bulk of
+    the W=512 evaluation (~5-9 ms of 11.2: its VPU compare-generation
+    cost, scripts/probe_selection_sites.py), so on dense (voxel, frame)
+    occupancy this layout removes the dominant non-Gram cost outright.
+    Chosen host-side by a density gate (factors/padding.py): dense cells
+    V·W must be within LVBA_ALIGNED_RATIO (default 2.5x) of the bucketed
+    entry count — window BA (every voxel sees most frames) and the W=512
+    bench scene qualify; sparse corridors at large W keep the bucketed /
+    banded layouts.
+
+    Replaces the same reference math as PlaneFactorArrays
+    (acc_evaluate2, /root/reference/include/BALM/bavoxel.hpp:68-174)."""
+
+    n: jnp.ndarray      # (V, W) f32
+    mu: jnp.ndarray     # (V, W, 3) f32
+    Pc: jnp.ndarray     # (V, W, 3, 3) f32
+
+    @property
+    def frame(self) -> jnp.ndarray:
+        """Slot index == frame id (compatibility with frame-consuming
+        helpers; the fast paths never materialize this)."""
+        V, Wd = self.n.shape
+        return jnp.broadcast_to(
+            jnp.arange(Wd, dtype=jnp.int32)[None, :], (V, Wd)
+        )
+
+
 def bucket_to_device(b: PlaneFactorBucket, dtype=jnp.float32) -> PlaneFactorArrays:
     return PlaneFactorArrays(
         n=jnp.asarray(b.n, dtype=dtype),
@@ -335,9 +375,19 @@ def plane_cost_grad_hess(
         return _cgh_gather(fa, R, p, num_frames, inv, chunk_bytes)
     V, K = fa.n.shape
     W = num_frames
+    aligned = isinstance(fa, AlignedPlaneFactorArrays)
+    if aligned and K != W:
+        raise ValueError(
+            f"aligned bucket width {K} != solve width {W}; build it with "
+            f"buckets_to_device(vm, W={W})"
+        )
     # per-voxel live bytes: the (W, 18) factor-row block, its transpose
-    # copy, and the (K, W) one-hot matrix
-    per_vox_bytes = (W * 18 * 2 + K * W) * 4
+    # copy, and the (K, W) one-hot matrix (aligned: the 60 output
+    # channels instead — there is no one-hot)
+    per_vox_bytes = (
+        (W * 18 * 2 + W * 60) * 4 if aligned
+        else (W * 18 * 2 + K * W) * 4
+    )
     chunk = max(1, min(V, chunk_bytes // max(per_vox_bytes, 1)))
     n_chunks = -(-V // chunk)
     Vpad = n_chunks * chunk
@@ -346,7 +396,12 @@ def plane_cost_grad_hess(
         cfg = [(0, Vpad - V)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg).reshape((n_chunks, chunk) + x.shape[1:])
 
-    fa_p = PlaneFactorArrays(pad(fa.n), pad(fa.mu), pad(fa.Pc), pad(fa.frame))
+    if aligned:
+        fa_p = AlignedPlaneFactorArrays(pad(fa.n), pad(fa.mu), pad(fa.Pc))
+    else:
+        fa_p = PlaneFactorArrays(
+            pad(fa.n), pad(fa.mu), pad(fa.Pc), pad(fa.frame)
+        )
     # padded voxels have all-zero factor data, so any slot their inv rows
     # point at gathers zeros — the pad fill value is irrelevant
     inv_p = pad(inv) if inv is not None else None
@@ -382,8 +437,11 @@ def plane_cost_grad_hess(
         # chunk_bytes either way
         carry = init
         for c in range(n_chunks):
-            fa_c = PlaneFactorArrays(
-                fa_p.n[c], fa_p.mu[c], fa_p.Pc[c], fa_p.frame[c]
+            fa_c = (
+                AlignedPlaneFactorArrays(fa_p.n[c], fa_p.mu[c], fa_p.Pc[c])
+                if aligned else PlaneFactorArrays(
+                    fa_p.n[c], fa_p.mu[c], fa_p.Pc[c], fa_p.frame[c]
+                )
             )
             carry, _ = body(
                 carry, fa_c, inv_p[c] if inv_p is not None else None
@@ -874,6 +932,12 @@ def _pose_channels(fa: PlaneFactorArrays, R, p):
     Exact selection via the bf16-split scheme; non-TPU/f64 keeps the
     gather (CPU gathers are fine, and f64 parity runs stay bit-faithful
     to the oracle path)."""
+    if isinstance(fa, AlignedPlaneFactorArrays):
+        # slot k == frame k: the "expansion" is a (1, W) broadcast that
+        # fuses into every elementwise consumer — no gather, no one-hot
+        R9 = tuple(R[:, i, j][None, :] for i in range(3) for j in range(3))
+        p3 = tuple(p[:, i][None, :] for i in range(3))
+        return R9, p3
     if not _use_exact_bf16_dots(R.dtype):
         Rg = R[fa.frame]
         pg = p[fa.frame]
@@ -1207,6 +1271,27 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
     broadcast-reduce form lowered to the VPU and was ~100x slower at
     W = 200)."""
     V, K = fa_c.n.shape
+    if isinstance(fa_c, AlignedPlaneFactorArrays):
+        # frame-aligned: no selection at all — g/Hd are plain voxel-axis
+        # sums and the factor rows already sit in the (V, W, 18) Gram
+        # layout (slot k == frame k).  The jjt/D channels are summed
+        # CHANNEL-WISE before stacking: the reductions fuse into the
+        # chain, so the (V, W, 42) stacked arrays (~350 MB of HBM traffic
+        # per eval at W=512) are never written; only the 18 Gram-operand
+        # row channels materialize
+        mu3, P6 = _moment_channels(fa_c)
+        R9, p3 = _pose_channels(fa_c, R, p)
+        mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(
+            fa_c.n, mu3, P6, R9, p3)
+        residv, u, B1, B2 = _soa_eig(cov6, N)
+        rows_ch, jjt_ch, d36_ch = _soa_chain(
+            mask, n, invN, vb, Rm, RP, mu3, P6, R9, p3, u, B1, B2)
+        g = jnp.stack([jnp.sum(c, axis=0) for c in jjt_ch], axis=-1)
+        Hd = jnp.stack(
+            [jnp.sum(c, axis=0) for c in d36_ch], axis=-1
+        ).reshape(W, 6, 6)
+        rows18 = jnp.stack(rows_ch, axis=-1)                  # (V, W, 18)
+        return jnp.sum(residv), g, Hd, rows18.reshape(V, W, 3, 6)
     if _soa_kernel_enabled() and inv_c is None:
         # fused Pallas evaluation: channel-major outputs; the one-hot
         # expansion matmuls are re-expressed against that layout (same
@@ -1305,7 +1390,7 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
 
 def plane_cost_soa(fa: PlaneFactorArrays, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Residual-only evaluation in SoA layout (trial steps of the LM)."""
-    if _soa_kernel_enabled():
+    if _soa_kernel_enabled() and not isinstance(fa, AlignedPlaneFactorArrays):
         from ..ops.pallas.soa_fused import soa_resid_fused
 
         return jnp.sum(soa_resid_fused(fa, R[fa.frame], p[fa.frame]))

@@ -66,7 +66,9 @@ def _solve_from_vm(vm, R, p, cfg: LvbaConfig, min_voxels: int = 0,
     if vm.num_planes < min_voxels or vm.num_planes == 0:
         return None, None, vm.num_planes
     dtype = jnp.float64 if cfg.solver.dtype == "float64" else jnp.float32
-    buckets = buckets_to_device(vm, dtype=dtype, merge=merge)
+    # W known here -> the density gate may pick the frame-aligned layout
+    # (one (V, W) bucket, selection-free eval; window problems are dense)
+    buckets = buckets_to_device(vm, dtype=dtype, merge=merge, W=len(R))
     res = lm_damping_iter(
         buckets,
         jnp.asarray(R, dtype),

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
+    AlignedPlaneFactorArrays,
     PlaneFactorArrays,
     add_block_diag,
     banded_cgh,
@@ -151,13 +152,30 @@ def lm_damping_iter(
     (plane_eigen.build_banded_groups) — Gram flops drop ~(2B/W)² on
     span-limited trajectories (corridors); "auto" measures the estimated
     flop ratio host-side at W >= 512 and picks banded when it saves >= 4x.
+
+    Frame-ALIGNED buckets (buckets_to_device(vm, W=W), dense-occupancy
+    scenes) evaluate selection-free and always take the dense-Gram jitted
+    loop; gather tables / banded grouping / cg_mf target the bucketed
+    layout's selection costs and are bypassed or rejected for them.
     """
     W = R0.shape[0]
+    aligned = any(isinstance(fa, AlignedPlaneFactorArrays) for fa in buckets)
     # resolve the env fallback BEFORE the split-routing check below — a
     # default None would read as "no gather tables" there and silently
     # ignore LVBA_GATHER_M=1 for large-W solves
     if gather_tables is None:
         gather_tables = os.environ.get("LVBA_GATHER_M", "0") == "1"
+    if aligned:
+        # the aligned layout has no frame-selection to replace: gather
+        # plans / banded grouping / the matrix-free rows path all target
+        # the bucketed layout's selection costs
+        if reduced_solver == "cg_mf":
+            raise ValueError(
+                "reduced_solver='cg_mf' needs bucketed factor arrays; "
+                "build them with buckets_to_device(vm, layout='bucketed')"
+            )
+        gather_tables = False
+        hessian = "dense"
     # very large W: route to the host-driven split-executable LM (three
     # bounded programs + the compact banded solve) — the fused whole-loop
     # program at W >= ~2048 is rejected by remote-compile services and its
