@@ -53,17 +53,24 @@ def buckets_to_device(
     W + layout: with the solve width known, layout='auto' switches to the
     frame-ALIGNED dense layout (one (V, W) bucket, slot k == frame k; see
     AlignedPlaneFactorArrays) when the dense cell count V·W is within
-    LVBA_ALIGNED_RATIO (default 2.5) of the bucketed entry count — it
-    removes every frame-selection contraction from the evaluation, the
-    measured bulk of the dense-occupancy eval cost.  layout='aligned'
-    forces it, layout='bucketed' disables it.
+    LVBA_ALIGNED_RATIO (default 2.5) of the bucketed entry count AND
+    W >= LVBA_ALIGNED_MIN_W (default 64) — it removes every
+    frame-selection contraction from the evaluation, the measured bulk of
+    the dense-occupancy eval cost at representative widths (W=512 LM
+    21.9 -> 15.9 ms/iter), but for many-small-window pipelines the
+    per-window host scatter outweighs the tiny-solve win (ladder-3
+    lidar stage measured 4.6 -> 8.5 s with windows aligned).
+    layout='aligned' forces it, layout='bucketed' disables it.
     """
     bs = vm.buckets
     if W is not None and layout in ("auto", "aligned") and bs:
         dense_cells = sum(b.n.shape[0] for b in bs) * W
         entry_cells = sum(int(np.prod(b.n.shape)) for b in bs)
         ratio = float(os.environ.get("LVBA_ALIGNED_RATIO", "2.5"))
-        if layout == "aligned" or dense_cells <= ratio * entry_cells:
+        min_w = int(os.environ.get("LVBA_ALIGNED_MIN_W", "64"))
+        if layout == "aligned" or (
+            W >= min_w and dense_cells <= ratio * entry_cells
+        ):
             return [aligned_to_device(bs, W, dtype=dtype, pad=pad)]
     if len(bs) > 1 and merge == "always":
         kmax = max(b.n.shape[1] for b in bs)
@@ -92,9 +99,12 @@ def aligned_to_device(
     zero.  V padded to the next power of two for executable reuse."""
     Vt = sum(b.n.shape[0] for b in bs)
     Vp = _next_pow2(Vt) if pad else Vt
-    n = np.zeros((Vp, W), dtype=np.float64)
-    mu = np.zeros((Vp, W, 3), dtype=np.float64)
-    Pc = np.zeros((Vp, W, 3, 3), dtype=np.float64)
+    # build in the TARGET dtype: an f64 intermediate doubles the host
+    # memory and conversion cost of the scatter for f32 solves
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    n = np.zeros((Vp, W), dtype=np_dt)
+    mu = np.zeros((Vp, W, 3), dtype=np_dt)
+    Pc = np.zeros((Vp, W, 3, 3), dtype=np_dt)
     off = 0
     for b in bs:
         V = b.n.shape[0]

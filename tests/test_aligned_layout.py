@@ -93,12 +93,13 @@ class TestAlignedLM:
 
 
 class TestDensityGate:
-    def test_auto_picks_aligned_when_dense(self):
+    def test_auto_picks_aligned_when_dense(self, monkeypatch):
         scene = make_plane_scene(num_frames=8, points_per_frame=1500, seed=0)
         vm = build_voxel_map(
             scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
             voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
         )
+        monkeypatch.setenv("LVBA_ALIGNED_MIN_W", "8")
         got = buckets_to_device(vm, dtype=jnp.float64, W=8)
         assert len(got) == 1
         assert isinstance(got[0], AlignedPlaneFactorArrays)
@@ -111,6 +112,12 @@ class TestDensityGate:
                                  layout="bucketed")
         assert all(not isinstance(fa, AlignedPlaneFactorArrays)
                    for fa in got3)
+        # below the min-W gate small windows stay bucketed (the ladder-3
+        # regression: per-window host scatters outweigh tiny-solve wins)
+        monkeypatch.setenv("LVBA_ALIGNED_MIN_W", "64")
+        got4 = buckets_to_device(vm, dtype=jnp.float64, W=8)
+        assert all(not isinstance(fa, AlignedPlaneFactorArrays)
+                   for fa in got4)
 
     def test_auto_keeps_bucketed_when_sparse(self, monkeypatch):
         # W far wider than any voxel's observer span: dense cells blow past
