@@ -576,8 +576,25 @@ class BandedGroups(NamedTuple):
     wide_inv: jnp.ndarray      # (Vw, W) int32
 
 
+class AlignedBandedGroups(NamedTuple):
+    """Banded groups in the frame-ALIGNED local layout: slot k of a group
+    IS local frame offset+k, so the group evaluation needs NO selection at
+    all — local poses arrive by one dynamic_slice of (R, p) at the group
+    offset and broadcast, g/Hd are voxel-axis sums, and the Gram operand
+    is the rows themselves (the within-window analogue of
+    AlignedPlaneFactorArrays; removes the full-width pose one-hot the
+    gather-layout group evaluation pays per entry).  Stragglers keep the
+    gather layout (full-width, <1% of voxels)."""
+
+    fa: AlignedPlaneFactorArrays  # each leaf (G, Vp, 2B[, ...])
+    offset: jnp.ndarray           # (G,) int32 frame offset of each window
+    wide_fa: PlaneFactorArrays    # straggler voxels, full-width (may be empty)
+    wide_inv: jnp.ndarray         # (Vw, W) int32
+
+
 def build_banded_groups(
     fa: PlaneFactorArrays, W: int, block: int = None,
+    aligned: bool = False,
 ) -> BandedGroups:
     """Host-build stacked banded voxel groups for one bucket.
 
@@ -585,7 +602,9 @@ def build_banded_groups(
     host-chosen frame offset (the last window is shifted left so it stays
     in range) and the same padded voxel count, so the whole band evaluates
     as one lax.scan.  Voxels whose observer span exceeds two blocks go to
-    a full-width straggler group."""
+    a full-width straggler group.  aligned=True scatters each group's
+    entries into the dense (Vp, 2B) local grid instead of carrying a
+    frame-slot table (AlignedBandedGroups)."""
     frame = np.asarray(fa.frame)
     nn = np.asarray(fa.n)
     mu = np.asarray(fa.mu)
@@ -622,6 +641,17 @@ def build_banded_groups(
         inv[v_i, frame[idx][v_i, k_i] - f_off] = k_i.astype(np.int32)
         return sub_fa, inv
 
+    def pack_aligned(idx, Vp, f_off):
+        na = np.zeros((Vp, width), nn.dtype)
+        mua = np.zeros((Vp, width, 3), mu.dtype)
+        Pca = np.zeros((Vp, width, 3, 3), Pc.dtype)
+        v_i, k_i = np.nonzero(nn[idx] > 0)
+        loc = frame[idx][v_i, k_i] - f_off
+        na[v_i, loc] = nn[idx][v_i, k_i]
+        mua[v_i, loc] = mu[idx][v_i, k_i]
+        Pca[v_i, loc] = Pc[idx][v_i, k_i]
+        return na, mua, Pca
+
     idxs, offs = [], []
     for s in range(n_blk):
         idx = np.flatnonzero(any_valid & ~wide & (start_blk == s))
@@ -634,14 +664,6 @@ def build_banded_groups(
     if not idxs:
         idxs = [np.zeros(0, np.int64)]
         offs = [0]
-    fas, invs = zip(*[pack(i, Vp, o, width) for i, o in zip(idxs, offs)])
-    stacked = PlaneFactorArrays(
-        n=jnp.asarray(np.stack([f.n for f in fas])),
-        mu=jnp.asarray(np.stack([f.mu for f in fas])),
-        Pc=jnp.asarray(np.stack([f.Pc for f in fas])),
-        frame=jnp.asarray(np.stack([f.frame for f in fas])),
-    )
-    inv = jnp.asarray(np.stack(invs))
     offset = jnp.asarray(np.asarray(offs, np.int32))
 
     wid = np.flatnonzero(any_valid & wide)
@@ -653,10 +675,43 @@ def build_banded_groups(
         n=jnp.asarray(wfa.n), mu=jnp.asarray(wfa.mu),
         Pc=jnp.asarray(wfa.Pc), frame=jnp.asarray(wfa.frame),
     )
+    if aligned:
+        packs = [pack_aligned(i, Vp, o) for i, o in zip(idxs, offs)]
+        stacked_a = AlignedPlaneFactorArrays(
+            n=jnp.asarray(np.stack([pk[0] for pk in packs])),
+            mu=jnp.asarray(np.stack([pk[1] for pk in packs])),
+            Pc=jnp.asarray(np.stack([pk[2] for pk in packs])),
+        )
+        return AlignedBandedGroups(
+            fa=stacked_a, offset=offset,
+            wide_fa=wide_fa, wide_inv=jnp.asarray(winv),
+        )
+    fas, invs = zip(*[pack(i, Vp, o, width) for i, o in zip(idxs, offs)])
+    stacked = PlaneFactorArrays(
+        n=jnp.asarray(np.stack([f.n for f in fas])),
+        mu=jnp.asarray(np.stack([f.mu for f in fas])),
+        Pc=jnp.asarray(np.stack([f.Pc for f in fas])),
+        frame=jnp.asarray(np.stack([f.frame for f in fas])),
+    )
+    inv = jnp.asarray(np.stack(invs))
     return BandedGroups(
         fa=stacked, inv=inv, offset=offset,
         wide_fa=wide_fa, wide_inv=jnp.asarray(winv),
     )
+
+
+def _banded_group_eval(fa_g, inv_g, off, R, p, width: int):
+    """One banded group's (resid, g_local, Hd_local, M (V, width, 3, 6)).
+
+    Aligned groups (slot k == local frame offset+k) take the selection-free
+    evaluation with poses dynamic-sliced at the group offset; gather-layout
+    groups keep the full-width poses + frame-slot-table path."""
+    if isinstance(fa_g, AlignedPlaneFactorArrays):
+        z = jnp.zeros((), off.dtype)
+        R_loc = jax.lax.dynamic_slice(R, (off, z, z), (width, 3, 3))
+        p_loc = jax.lax.dynamic_slice(p, (off, z), (width, 3))
+        return _chunk_eval_soa(fa_g, R_loc, p_loc, width)
+    return _chunk_eval_soa(fa_g, R, p, width, inv_g)
 
 
 def banded_scan(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
@@ -665,14 +720,20 @@ def banded_scan(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
     evaluates its voxels at local width 2B, Grams (12B)², and
     read-modify-writes the H window at its (traced) frame offset via
     dynamic slices.  Factored out of banded_cgh so a mesh can shard the
-    group stack (parallel.shard.banded_cgh_sharded) — the partials sum."""
+    group stack (parallel.shard.banded_cgh_sharded) — the partials sum.
+    inv_s is None for aligned-layout stacks (AlignedBandedGroups)."""
     dt = R.dtype
-    width = inv_s.shape[-1]
+    aligned = inv_s is None
+    width = fa_s.n.shape[-1] if aligned else inv_s.shape[-1]
 
     def body(carry, inp):
         resid_a, g_a, Hd_a, H_a = carry
-        fa_g, inv_g, off = inp
-        r_, g_l, Hd_l, M = _chunk_eval_soa(fa_g, R, p, width, inv_g)
+        if aligned:
+            fa_g, off = inp
+            inv_g = None
+        else:
+            fa_g, inv_g, off = inp
+        r_, g_l, Hd_l, M = _banded_group_eval(fa_g, inv_g, off, R, p, width)
         gram = jax.lax.dot_general(
             M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=dt,
@@ -695,7 +756,8 @@ def banded_scan(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
         jnp.zeros((W, 6, 6), dt) + zvar,
         jnp.zeros((6 * W, 6 * W), dt) + zvar,
     )
-    (resid, g, Hd, H), _ = jax.lax.scan(body, init, (fa_s, inv_s, offset_s))
+    xs = (fa_s, offset_s) if aligned else (fa_s, inv_s, offset_s)
+    (resid, g, Hd, H), _ = jax.lax.scan(body, init, xs)
     return resid, g, Hd, H
 
 
@@ -707,14 +769,20 @@ def banded_scan_grams(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
     service rejects (measured: the banded eval executable is the one that
     500s, scripts/probe_w4096.py); the group Grams total
     G·(6w)² ≈ (2B/W)·(6W)² — a 4096-pose corridor fits in ~600 MB and the
-    CG consumes them directly (dist_solve.solve_damped_cg_banded)."""
+    CG consumes them directly (dist_solve.solve_damped_cg_banded).
+    inv_s is None for aligned-layout stacks (AlignedBandedGroups)."""
     dt = R.dtype
-    width = inv_s.shape[-1]
+    aligned = inv_s is None
+    width = fa_s.n.shape[-1] if aligned else inv_s.shape[-1]
 
     def body(carry, inp):
         resid_a, g_a, Hd_a = carry
-        fa_g, inv_g, off = inp
-        r_, g_l, Hd_l, M = _chunk_eval_soa(fa_g, R, p, width, inv_g)
+        if aligned:
+            fa_g, off = inp
+            inv_g = None
+        else:
+            fa_g, inv_g, off = inp
+        r_, g_l, Hd_l, M = _banded_group_eval(fa_g, inv_g, off, R, p, width)
         gram = jax.lax.dot_general(
             M, M, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
             preferred_element_type=dt,
@@ -733,7 +801,8 @@ def banded_scan_grams(fa_s: PlaneFactorArrays, inv_s, offset_s, R, p, W: int):
         jnp.zeros((W, 6), dt) + zvar,
         jnp.zeros((W, 6, 6), dt) + zvar,
     )
-    (resid, g, Hd), grams = jax.lax.scan(body, init, (fa_s, inv_s, offset_s))
+    xs = (fa_s, offset_s) if aligned else (fa_s, inv_s, offset_s)
+    (resid, g, Hd), grams = jax.lax.scan(body, init, xs)
     return resid, g, Hd, grams
 
 
@@ -760,7 +829,7 @@ def banded_cgh_compact(bg: BandedGroups, R, p, W: int):
     H = diag-blocks(Hd) - scatter(grams by bg.offset) - wide_Mᵀ wide_M
     (the consumer, dist_solve.solve_damped_cg_banded, SUBTRACTS both)."""
     r0, g0, Hd0, grams = banded_scan_grams(
-        bg.fa, bg.inv, bg.offset, R, p, W
+        bg.fa, getattr(bg, "inv", None), bg.offset, R, p, W
     )
     r1, g1, Hd1, wM = banded_straggler_rows(bg, R, p, W)
     return r0 + r1, g0 + g1, Hd0 + Hd1, grams, wM
@@ -782,7 +851,9 @@ def banded_straggler_cgh(bg: BandedGroups, R, p, W: int):
 def banded_cgh(bg: BandedGroups, R, p, W: int):
     """(resid, g (W,6), Hd (W,6,6), H (6W,6W) CROSS part) of one bucket's
     banded groups + stragglers (see banded_scan)."""
-    resid, g, Hd, H = banded_scan(bg.fa, bg.inv, bg.offset, R, p, W)
+    resid, g, Hd, H = banded_scan(
+        bg.fa, getattr(bg, "inv", None), bg.offset, R, p, W
+    )
 
     # stragglers: one full-width gather evaluation
     if int(bg.wide_fa.n.shape[0]) > 0:

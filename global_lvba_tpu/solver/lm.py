@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.plane_eigen import (
+    AlignedBandedGroups,
     AlignedPlaneFactorArrays,
     PlaneFactorArrays,
     add_block_diag,
@@ -75,6 +76,19 @@ def _total_cgh(buckets: Sequence[PlaneFactorArrays], R, p, W, h_sharding=None,
         # column-sharded over the 'frames' mesh axis (SURVEY.md §2.3 item 2)
         H = jax.lax.with_sharding_constraint(H, h_sharding)
     return resid, g.reshape(W * 6), H
+
+
+def _banded_aligned() -> bool:
+    """Trace-time switch for the frame-aligned banded-group layout: each
+    group's slots align to its local 2B window, so the group evaluation is
+    selection-free (no full-width pose one-hot per entry).  Default OFF:
+    at banded scales the iteration is Gram-bound, not selection-bound —
+    the W-wide pose one-hot is only ~1-2 ms of a 300+ ms W=2048 iteration
+    while the dense local grid roughly doubles the chain work (chip A/B:
+    W=4096 gather 1255 vs aligned 1333 ms/iter, same ATE).  Kept for span
+    distributions dense within their window; LVBA_BANDED_ALIGNED=1
+    enables."""
+    return os.environ.get("LVBA_BANDED_ALIGNED", "0") == "1"
 
 
 def _nielsen_update(res1, res2, q1, u, v, rel_tol):
@@ -232,11 +246,12 @@ def lm_damping_iter(
             groups_all = []
             dense_cost = banded_cost = 0
             for fa in buckets:
-                bg = build_banded_groups(fa, W)
+                bg = build_banded_groups(fa, W, aligned=_banded_aligned())
                 groups_all.append(bg)
                 dense_cost += fa.n.shape[0] * W * W
-                G, Vp, _ = bg.fa.n.shape
-                width = bg.inv.shape[-1]
+                G, Vp, width = bg.fa.n.shape[:3]
+                if not isinstance(bg, AlignedBandedGroups):
+                    width = bg.inv.shape[-1]
                 banded_cost += G * Vp * width * width
                 banded_cost += bg.wide_fa.n.shape[0] * W * W
             if want or banded_cost * 4 <= dense_cost:
@@ -471,11 +486,12 @@ def lm_damping_iter_split(
             groups_all = []
             dense_cost = banded_cost = 0
             for fa in buckets:
-                bg = build_banded_groups(fa, W)
+                bg = build_banded_groups(fa, W, aligned=_banded_aligned())
                 groups_all.append(bg)
                 dense_cost += fa.n.shape[0] * W * W
-                G, Vp, _ = bg.fa.n.shape
-                width = bg.inv.shape[-1]
+                G, Vp, width = bg.fa.n.shape[:3]
+                if not isinstance(bg, AlignedBandedGroups):
+                    width = bg.inv.shape[-1]
                 banded_cost += G * Vp * width * width
                 banded_cost += bg.wide_fa.n.shape[0] * W * W
             use_banded = want or banded_cost * 4 <= dense_cost
