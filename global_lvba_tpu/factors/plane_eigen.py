@@ -1302,6 +1302,22 @@ def _soa_chain(mask, n, invN, vb, Rm, RP, mu3, P6, R9, p3, u, B1, B2):
     return rows_ch, jjt_ch, d36_ch
 
 
+# The 36 diagonal-extras channels (the _soa_chain d36_ch tuple, laid out
+# as the row-major 6x6 block [D_rr, D_rt; D_rtᵀ, D_tt]) repeat 12 entries:
+# D_rt appears transposed in the lower-left and D_tt is symmetric.
+# _D_UNIQUE lists the 24 distinct channel positions; _D24_TO_36 rebuilds
+# the full row-major 36 from the reduced (W, 24) — exact, since the
+# frame reduction is linear per channel.
+_D_UNIQUE = tuple(range(18)) + (21, 22, 23, 28, 29, 35)
+_D24_TO_36 = np.array(
+    list(range(18))
+    + [3, 9, 15, 18, 19, 20]
+    + [4, 10, 16, 19, 21, 22]
+    + [5, 11, 17, 20, 22, 23],
+    dtype=np.int32,
+)
+
+
 def _soa_kernel_enabled() -> bool:
     """Trace-time switch for the fused Pallas SoA kernel.  The XLA lowering
     of the componentwise evaluation fragments into ~185 fusion launches +
@@ -1393,8 +1409,8 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
             preferred_element_type=fa_c.n.dtype, precision=hi,
         )                                                # (V, W, 18)
         return jnp.sum(residv), g, Hd, M.reshape(V, W, 3, 6)
-    resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
     if inv_c is not None:
+        resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
         dt = fa_c.n.dtype
         cat = jnp.concatenate([rows18, jjt6, D36], axis=-1)      # (V, K, 60)
         catp = jnp.concatenate([cat, jnp.zeros((V, 1, 60), dt)], axis=1)
@@ -1405,26 +1421,40 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
     if _use_exact_bf16_dots(fa_c.n.dtype):
         # exact-selection scheme: single-pass bf16 dots over the 3-way
         # split packing, same f32 results (see _exact_sel_dot); g and Hd
-        # share one (VK, 42) operand so the one-hot streams once
-        cat42 = jnp.concatenate([jjt6, D36], axis=-1).reshape(V * K, 42)
+        # share one stacked operand so the one-hot streams once.  Only the
+        # 24 UNIQUE diagonal-extras channels are stacked/reduced (D is
+        # symmetric 3x3 blocks — 12 of its 36 channels repeat); the (W, 36)
+        # layout reassembles from the (W, 24) reduction by a tiny W-sized
+        # gather, exact because the reduction is linear per channel
+        mu3, P6 = _moment_channels(fa_c)
+        R9, p3 = _pose_channels(fa_c, R, p)
+        mask, n, N, invN, vb, Rm, RP, cov6 = _soa_agg(
+            fa_c.n, mu3, P6, R9, p3)
+        residv, u, B1, B2 = _soa_eig(cov6, N)
+        rows_ch, jjt_ch, d36_ch = _soa_chain(
+            mask, n, invN, vb, Rm, RP, mu3, P6, R9, p3, u, B1, B2)
+        resid = jnp.sum(residv)
+        rows18 = jnp.stack(rows_ch, axis=-1)                 # (V, K, 18)
+        uniq = jjt_ch + tuple(d36_ch[i] for i in _D_UNIQUE)
+        cat30 = jnp.stack(uniq, axis=-1).reshape(V * K, 30)
         if _sel_kernel_enabled(fa_c.n.dtype):
             from ..ops.pallas.selection import entry_reduce
 
-            vals3 = jnp.concatenate(_split3_bf16(cat42), axis=1)  # (VK,126)
+            vals3 = jnp.concatenate(_split3_bf16(cat30), axis=1)  # (VK,90)
             gHd3 = entry_reduce(
                 fa_c.frame.reshape(-1), vals3, W,
                 interpret=jax.default_backend() != "tpu",
-            )                                               # (W, 126)
-            gHd = gHd3[:, :42] + gHd3[:, 42:84] + gHd3[:, 84:126]
+            )                                               # (W, 90)
+            gHd = gHd3[:, :30] + gHd3[:, 30:60] + gHd3[:, 60:90]
         else:
             oh_flat = (
                 fa_c.frame.reshape(-1)[:, None]
                 == jnp.arange(W, dtype=fa_c.frame.dtype)
             ).astype(jnp.bfloat16)
             gHd = _exact_sel_dot(
-                cat42, oh_flat, (((0,), (0,)), ((), ())),
+                cat30, oh_flat, (((0,), (0,)), ((), ())),
                 values_left=False, pack_axis=1, out_axis=1,
-            )                                               # (W, 42)
+            )                                               # (W, 30)
         oh_bf = (
             fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)
         ).astype(jnp.bfloat16)
@@ -1432,8 +1462,9 @@ def _chunk_eval_soa(fa_c: PlaneFactorArrays, R, p, W: int, inv_c=None):
             rows18, oh_bf, (((1,), (1,)), ((0,), (0,))), values_left=False,
             pack_axis=2, out_axis=2,
         )                                                   # (V, W, 18)
-        return (resid, gHd[:, :6], gHd[:, 6:].reshape(W, 6, 6),
+        return (resid, gHd[:, :6], gHd[:, 6:][:, _D24_TO_36].reshape(W, 6, 6),
                 M.reshape(V, W, 3, 6))
+    resid, jjt6, D36, rows18 = _soa_core(fa_c, R, p, W)
     onehot = (fa_c.frame[..., None] == jnp.arange(W, dtype=fa_c.frame.dtype)).astype(
         fa_c.n.dtype
     )
