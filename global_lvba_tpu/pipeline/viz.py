@@ -88,5 +88,26 @@ def launch_viewer(out_dir, block: bool = True) -> bool:
             continue
     if not geoms:
         return False
-    o3d.visualization.draw_geometries(geoms) if block else None
-    return True
+    if block:
+        o3d.visualization.draw_geometries(geoms)
+        return True
+    # non-blocking: hand the window to a detached child process so the
+    # pipeline continues; success means the viewer process launched
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, open3d as o3d\n"
+        "gs = [o3d.io.read_point_cloud(p) for p in sys.argv[1:]]\n"
+        "o3d.visualization.draw_geometries([g for g in gs if len(g.points)])\n"
+    )
+    try:
+        subprocess.Popen(
+            [sys.executable, "-c", code, *[str(p) for p in pcds]],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+        return True
+    except OSError as e:
+        print(f"[viewer] could not launch viewer process: {e}")
+        return False

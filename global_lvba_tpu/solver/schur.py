@@ -590,6 +590,22 @@ def _backsub(prob, cache: _LinCache, consts, Hpp_inv, W, dc, u):
     return dc, dX, q1
 
 
+def _nielsen_visual(c_prev, c_new, q1, u, v, rel_tol, dtype):
+    """Visual-LM Nielsen trust-region bookkeeping (clipped gain ratio +
+    damping-stall guard), shared by the flat and tier device loops so the
+    damping schedule cannot diverge between them (the lidar loops share
+    solver/lm.py:_nielsen_update the same way).  Returns (accept, u_new,
+    v_new, converged, stalled)."""
+    q = c_prev - c_new
+    accept = q > 0
+    qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
+    u_acc = u * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
+    u_new = jnp.where(accept, u_acc, u * v)
+    v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v)
+    conv = accept & (jnp.abs(q) / jnp.maximum(c_prev, 1e-30) < rel_tol)
+    stall = (~accept) & (u_new > 1e12)
+    return accept, u_new, v_new, conv, stall
+
 @partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12))
 def _lm_device_loop(pstat, consts, pa, pb, tiers, R0_, t0_, X0_,
                     max_iters, u_init, rel_tol, s_sharding, pairs_sharded):
@@ -622,16 +638,9 @@ def _lm_device_loop(pstat, consts, pa, pb, tiers, R0_, t0_, X0_,
         # the cached one (Ceres Evaluator-caching semantics) — no
         # separate residual-only pass, no post-accept re-evaluation
         cache_t = _linearize(pstat, consts, R_t, t_t, X_t)
-        c_prev_ = cache_.cost
-        c_new = cache_t.cost
-        q = c_prev_ - c_new
-        accept = q > 0
-        qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
-        u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
-        u_new = jnp.where(accept, u_acc, u_ * v_)
-        v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
-        conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
-        stall = (~accept) & (u_new > 1e12)
+        accept, u_new, v_new, conv, stall = _nielsen_visual(
+            cache_.cost, cache_t.cost, q1, u_, v_, rel_tol, dtype
+        )
         frz = lambda new, old: jnp.where(done_, old, new)
         # one fused where pass over the O-scale cache, not two
         sel = lambda new, old: jnp.where(accept & ~done_, new, old)
@@ -677,16 +686,9 @@ def _lm_device_loop_tiers(pstat, cam, tcs, R0_, t0_, X0ts,
         t_t = t_ + dc[:, 3:6]
         Xts_t = tuple(X + dX for X, dX in zip(Xts_, dXts))
         cache_t = _linearize_tiers(pstat, cam, tcs, R_t, t_t, Xts_t)
-        c_prev_ = cache_.cost
-        c_new = cache_t.cost
-        q = c_prev_ - c_new
-        accept = q > 0
-        qr = jnp.clip(q / jnp.maximum(q1, 1e-30), -1e3, 1e3)
-        u_acc = u_ * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * qr - 1.0) ** 3)
-        u_new = jnp.where(accept, u_acc, u_ * v_)
-        v_new = jnp.where(accept, jnp.asarray(2.0, dtype), 2.0 * v_)
-        conv = accept & (jnp.abs(q) / jnp.maximum(c_prev_, 1e-30) < rel_tol)
-        stall = (~accept) & (u_new > 1e12)
+        accept, u_new, v_new, conv, stall = _nielsen_visual(
+            cache_.cost, cache_t.cost, q1, u_, v_, rel_tol, dtype
+        )
         frz = lambda new, old: jnp.where(done_, old, new)
         # one fused where pass over the O-scale cache, not two
         sel = lambda new, old: jnp.where(accept & ~done_, new, old)

@@ -132,3 +132,35 @@ class TestVizExports:
 
         export_track_compare(tmp_path, np.zeros((5, 3)), np.ones((5, 3)))
         assert (tmp_path / "tracks_before.pcd").exists()
+
+
+class TestViewerHook:
+    """launch_viewer degrades gracefully without open3d/display and the
+    CLI `view` subcommand reports the outcome in its exit code."""
+
+    def test_no_pcds_returns_false(self, tmp_path):
+        from global_lvba_tpu.pipeline.viz import launch_viewer
+
+        assert launch_viewer(tmp_path) is False
+
+    def test_without_open3d_hints_and_returns_false(self, tmp_path):
+        import numpy as np
+
+        from global_lvba_tpu.io.pcd import write_pcd
+        from global_lvba_tpu.pipeline.viz import launch_viewer
+
+        write_pcd(tmp_path / "cloud.pcd", np.zeros((4, 3), np.float32))
+        try:
+            import open3d  # noqa: F401
+            has_o3d = True
+        except ImportError:
+            has_o3d = False
+        if has_o3d:
+            import pytest
+            pytest.skip("open3d installed; interactive path needs a display")
+        assert launch_viewer(tmp_path, block=False) is False
+
+    def test_cli_view_exit_code(self, tmp_path):
+        from global_lvba_tpu.__main__ import main
+
+        assert main(["view", "--out", str(tmp_path)]) == 1
