@@ -112,8 +112,13 @@ def main():
             for k, v in saved.items():
                 os.environ.pop(k, None) if v is None else os.environ.update({k: v})
 
-    r0, g0, H0 = cgh_with({})
-    r1, g1, H1 = cgh_with({"LVBA_SOA_KERNEL": "pallas"})
+    # pin the Gram to HIGHEST on both sides: the comparison isolates the
+    # SoA-kernel lowering, not the (round-5 default) one-bf16-pass Gram
+    # rounding, which drifts the default-vs-pallas delta right at the
+    # 2e-5 tolerance (measured 2.08e-5)
+    r0, g0, H0 = cgh_with({"LVBA_GRAM_PRECISION": "highest"})
+    r1, g1, H1 = cgh_with({"LVBA_SOA_KERNEL": "pallas",
+                           "LVBA_GRAM_PRECISION": "highest"})
     check("cgh_soa_resid", r1, r0, 2e-5)
     check("cgh_soa_g", g1, g0, 2e-5, scale=float(np.max(np.abs(g0))))
     check("cgh_soa_H", H1, H0, 2e-5, scale=float(np.max(np.abs(H0))))
@@ -135,10 +140,14 @@ def main():
         Hq = Hq.at[jnp.arange(W), :, jnp.arange(W), :].add(Hd)
         return resid, g.reshape(-1), Hq.reshape(6 * W, 6 * W)
 
+    # reference at the DEFAULT knobs: banded and dense share the same
+    # Gram precision, so this comparison stays same-knob (the HIGHEST
+    # r0/H0 above exists only to isolate the pallas kernel check)
+    r0d, g0d, H0d = cgh_with({})
     rb, gb, Hb = banded_total(R, p)
-    check("banded_resid", rb, r0, 2e-5)
-    check("banded_g", gb, g0, 2e-5, scale=float(np.max(np.abs(g0))))
-    check("banded_H", Hb, H0, 2e-5, scale=float(np.max(np.abs(H0))))
+    check("banded_resid", rb, r0d, 2e-5)
+    check("banded_g", gb, g0d, 2e-5, scale=float(np.max(np.abs(g0d))))
+    check("banded_H", Hb, H0d, 2e-5, scale=float(np.max(np.abs(H0d))))
 
     # --- 5. short LM solve: pallas SoA kernel vs default poses ---
     res_d = lm_damping_iter(buckets, R, p, max_iters=4)
