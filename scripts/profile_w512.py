@@ -211,7 +211,8 @@ def main():
         scene.points_body, scene.frame_ids, scene.R_true, scene.p_true,
         voxel_size=1.0, eigen_ratios=(0.2, 0.2, 0.2, 0.2),
     )
-    buckets = buckets_to_device(vm, dtype=jnp.float32)
+    buckets = buckets_to_device(vm, dtype=jnp.float32, layout="bucketed")
+    aligned = buckets_to_device(vm, dtype=jnp.float32, W=W, layout="aligned")
     Rp, pp = perturb_poses(scene.R_true, scene.p_true, 0.003, 0.01, seed=1)
     R = jax.device_put(jnp.asarray(Rp, jnp.float32))
     p = jax.device_put(jnp.asarray(pp, jnp.float32))
@@ -220,6 +221,17 @@ def main():
 
     peak = float(os.environ.get("LVBA_PEAK_TFLOPS", "197"))
     out = {"W": W}
+
+    # production layout first (round 5 default at this density/width)
+    def eval_aligned():
+        ms, flops = chained_eval_ms(aligned, None, R, p, W)
+        out["eval_ms_aligned"] = round(ms, 2)
+        out["mfu_pct_aligned"] = round(
+            100.0 * flops / (ms / 1e3) / 1e12 / peak, 2)
+        out["eval_gflop_aligned"] = round(flops / 1e9, 1)
+        print(json.dumps(out), flush=True)
+
+    eval_aligned()
 
     def eval_variant(name, iv, env=None):
         env = env or {}
@@ -256,18 +268,19 @@ def main():
 
     from global_lvba_tpu.models.synthetic import ate_rmse
 
-    for name, gather, env in (
-        ("default", False, {}),
-        ("exact0", False, {"LVBA_EXACT_DOTS": "0"}),
-        ("selkernel", False, {"LVBA_SEL_KERNEL": "1"}),
-        ("plan", True, {}),
+    for name, bks, gather, env in (
+        ("aligned", aligned, False, {}),
+        ("default", buckets, False, {}),
+        ("exact0", buckets, False, {"LVBA_EXACT_DOTS": "0"}),
+        ("selkernel", buckets, False, {"LVBA_SEL_KERNEL": "1"}),
+        ("plan", buckets, True, {}),
     ):
         saved = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
             _clear_lm_cache()
-            ms, resid = lm_ms_per_iter(buckets, R, p, gather)
-            res_ate = lm_damping_iter(buckets, R, p, max_iters=10,
+            ms, resid = lm_ms_per_iter(bks, R, p, gather)
+            res_ate = lm_damping_iter(bks, R, p, max_iters=10,
                                       gather_tables=gather)
             ate = ate_rmse(np.asarray(res_ate.p, np.float64), scene.p_true)
         finally:
